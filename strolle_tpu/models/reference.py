@@ -1,0 +1,147 @@
+"""Brute-force path-traced reference mode — the framework's oracle.
+
+Reimplements CameraMode::Reference semantics
+(strolle/src/camera_controller.rs:101-111 +
+strolle-shaders/src/{ref_tracing,ref_shading}.rs) as ONE jitted
+function: instead of 2(depth+1) kernel dispatches with ray state
+round-tripped through Vec4 buffers, the bounce loop is unrolled inside
+a single XLA program, carrying (origin, dir, color, throughput, alive)
+as registers. Accumulation across frames resets when the camera moves
+(Camera::is_eq tolerance, camera.rs:103-106).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, primary_rays, screen_grid
+from ..ops import brdf, rng
+from ..ops.hit import surface_at
+from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
+from ..ops.trace import trace_anyhit, trace_closest
+from ..scene.types import Scene
+from ..sky.atmosphere import sample_sky, sun_direction
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class RefAccumulator:
+    """Running average state (ref_colors texture + camera snapshot)."""
+
+    color: jnp.ndarray  # f32[H, W, 3]  sum of samples
+    samples: jnp.ndarray  # f32[H, W]   sample count (colors.w)
+    projection_view: jnp.ndarray  # f32[4, 4] camera at last accumulation
+
+
+def init_accumulator(camera: Camera) -> RefAccumulator:
+    h, w = camera.height, camera.width
+    return RefAccumulator(
+        color=jnp.zeros((h, w, 3), jnp.float32),
+        samples=jnp.zeros((h, w), jnp.float32),
+        projection_view=jnp.zeros((4, 4), jnp.float32),
+    )
+
+
+def trace_sample(
+    scene: Scene,
+    camera: Camera,
+    seed: jnp.ndarray,
+    depth: int = 5,
+    include_sky: bool = True,
+):
+    """One path-traced sample per pixel; returns radiance [H, W, 3].
+
+    Follows ref_shading.rs bounce logic: emissive + single-light NEE +
+    layered-BRDF continuation, with material regularization for
+    depth > 0 (ref_shading.rs:107-109).
+    """
+    grid = screen_grid(camera)
+    o, d = primary_rays(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+
+    hw = o.shape[:-1]
+    color = jnp.zeros(hw + (3,), jnp.float32)
+    throughput = jnp.ones(hw + (3,), jnp.float32)
+    alive = jnp.ones(hw, bool)
+
+    sun = sun_direction(scene.sun_azimuth, scene.sun_altitude)
+    lcount = scene.lights.count
+    has_lights = lcount > 0
+
+    for bounce in range(depth + 1):
+        hit = trace_closest(scene, o, d)
+        surf = surface_at(scene, o, d, hit, regularize=bounce > 0)
+
+        # sky on miss (ref_shading.rs:95-103)
+        missed = alive & ~surf.is_some
+        if include_sky:
+            sky = sample_sky(sun, d)
+            color = jnp.where(missed[..., None], color + throughput * sky, color)
+        alive = alive & surf.is_some
+
+        # emissive
+        color = jnp.where(
+            alive[..., None], color + throughput * surf.emissive, color
+        )
+
+        # next-event estimation: 1 uniformly-chosen light
+        state, word = rng.next_u32(state)
+        light_id = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(
+            jnp.int32
+        )
+        light = gather_light(scene.lights, light_id)
+        state, sr_o, sr_d, sr_len = shadow_ray_wnoise(state, light, surf.point)
+        occluded = trace_anyhit(scene, sr_o, sr_d, sr_len)
+        light_pdf = 1.0 / jnp.maximum(lcount.astype(jnp.float32), 1.0)
+        nee = radiance(light, surf).sum / light_pdf
+        take = alive & has_lights & ~occluded
+        color = jnp.where(take[..., None], color + throughput * nee, color)
+
+        # continuation ray
+        if bounce < depth:
+            state, new_dir, pdf, rad = brdf.layered_sample(
+                state,
+                surf.base_color,
+                surf.metallic,
+                surf.roughness,
+                surf.reflectance,
+                surf.normal,
+                -d,
+            )
+            alive = alive & (pdf > 0.0)
+            cos = jnp.sum(new_dir * surf.normal, axis=-1)
+            throughput = throughput * (
+                cos[..., None] * rad / jnp.maximum(pdf, 1e-20)[..., None]
+            )
+            o = surf.point
+            d = jnp.where(alive[..., None], new_dir, d)
+
+    return color
+
+
+@partial(jax.jit, static_argnames=("depth", "include_sky"))
+def render_reference(
+    scene: Scene,
+    camera: Camera,
+    accum: RefAccumulator,
+    seed: jnp.ndarray,
+    depth: int = 5,
+    include_sky: bool = True,
+):
+    """Accumulating reference render. Returns (image [H,W,3], accum')."""
+    sample = trace_sample(scene, camera, seed, depth, include_sky)
+    keep = jnp.all(
+        jnp.abs(accum.projection_view - camera.projection_view) <= 0.0025
+    )
+    keep_f = keep.astype(jnp.float32)
+    color = accum.color * keep_f + sample
+    samples = accum.samples * keep_f + 1.0
+    image = color / jnp.maximum(samples, 1.0)[..., None]
+    return image, RefAccumulator(
+        color=color,
+        samples=samples,
+        projection_view=camera.projection_view,
+    )

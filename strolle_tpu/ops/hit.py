@@ -1,0 +1,119 @@
+"""Hit records and surface attribute evaluation.
+
+SoA analogue of strolle-gpu/src/hit.rs (Hit / TriangleHit) and of the
+G-buffer *contents* of gbuffer.rs:19-57 — without the 2xVec4 bit
+packing, which exists only to fit texture formats.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.types import Scene
+from ..utils.pytree import pytree_dataclass
+from . import math as vm
+from .texture import sample_material_channel
+
+#: Self-intersection nudge (hit.rs:16-18).
+NUDGE_OFFSET = 0.01
+
+
+@pytree_dataclass
+class TriangleHit:
+    """Closest-hit result per ray; tri < 0 means miss (t = +inf)."""
+
+    t: jnp.ndarray  # f32[...]
+    tri: jnp.ndarray  # i32[...]
+    u: jnp.ndarray  # f32[...]
+    v: jnp.ndarray  # f32[...]
+
+    @property
+    def is_some(self) -> jnp.ndarray:
+        return self.tri >= 0
+
+
+@pytree_dataclass
+class Surface:
+    """Shading-ready surface attributes at a hit point ("gbuffer entry"
+    + hit geometry). On a miss, fields are zero and `is_some` False."""
+
+    point: jnp.ndarray  # f32[..., 3]  (nudged off the surface)
+    dir: jnp.ndarray  # f32[..., 3]  incoming ray direction
+    normal: jnp.ndarray  # f32[..., 3]
+    uv: jnp.ndarray  # f32[..., 2]
+    material_id: jnp.ndarray  # i32[...]
+    base_color: jnp.ndarray  # f32[..., 4]
+    emissive: jnp.ndarray  # f32[..., 3]
+    metallic: jnp.ndarray  # f32[...]
+    roughness: jnp.ndarray  # f32[...]
+    reflectance: jnp.ndarray  # f32[...]
+    depth: jnp.ndarray  # f32[...]  (hit distance; 0 where miss)
+    is_some: jnp.ndarray  # bool[...]
+
+
+def surface_at(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    hit: TriangleHit,
+    regularize: bool = False,
+) -> Surface:
+    """Gathers triangle + material data for closest hits and interpolates
+    shading attributes (triangle.rs:96-113, ref_shading.rs hit block).
+
+    ``regularize`` clamps roughness for indirect bounces
+    (material.rs:24-27: roughness = max(roughness, 0.5625)).
+    """
+    geom = scene.geometry
+    mats = scene.materials
+    tri = jnp.maximum(hit.tri, 0)
+
+    p = geom.positions[tri]  # [..., 3, 3]
+    n = geom.normals[tri]
+    uvs = geom.uvs[tri]
+    mat_id = geom.material_id[tri]
+
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+    w = 1.0 - u - v
+
+    # interpolated normal, flipped to face against the ray (sign of det)
+    e1 = p[..., 1, :] - p[..., 0, :]
+    e2 = p[..., 2, :] - p[..., 0, :]
+    det = vm.dot(e1, vm.cross(d, e2))
+    normal = vm.normalize(w * n[..., 0, :] + u * n[..., 1, :] + v * n[..., 2, :])
+    normal = normal * vm.copysign1(det)[..., None]
+
+    uv = w * uvs[..., 0, :] + u * uvs[..., 1, :] + v * uvs[..., 2, :]
+
+    base_color = sample_material_channel(
+        scene, mats.base_color[mat_id], mats.base_color_tex[mat_id], uv
+    )
+    emissive = sample_material_channel(
+        scene, mats.emissive[mat_id], mats.emissive_tex[mat_id], uv
+    )[..., :3]
+
+    roughness = mats.roughness[mat_id]
+    if regularize:
+        roughness = jnp.maximum(roughness, 0.75 * 0.75)
+
+    some = hit.is_some
+    point = o + d * jnp.where(some, hit.t, 0.0)[..., None] + normal * NUDGE_OFFSET
+
+    def z(x):
+        return jnp.where(some[..., None] if x.ndim > some.ndim else some, x, 0.0)
+
+    return Surface(
+        point=z(point),
+        dir=d,
+        normal=z(normal),
+        uv=z(uv),
+        material_id=jnp.where(some, mat_id, 0),
+        base_color=z(base_color),
+        emissive=z(emissive),
+        metallic=z(mats.metallic[mat_id]),
+        roughness=z(roughness),
+        reflectance=z(mats.reflectance[mat_id]),
+        depth=jnp.where(some, hit.t, 0.0),
+        is_some=some,
+    )

@@ -1,0 +1,135 @@
+"""Light radiance evaluation + shadow-ray sampling.
+
+Batched SoA re-derivation of strolle-gpu/src/light.rs:143-239:
+spherical lights with spot-angle falloff, smooth inverse-square range
+attenuation, Lambert cosine, diffuse BRDF, and representative-point
+sphere-light specular with roughness widening. Light parameters are
+gathered by id so callers can evaluate arbitrary (pixel, light)
+pairings.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import LIGHT_POINT, Lights
+from . import brdf, math as vm, rng
+
+
+class LightGather(NamedTuple):
+    """Per-lane light parameters (one light per lane, gathered by id)."""
+
+    pos: jnp.ndarray  # f32[..., 3]
+    radius: jnp.ndarray  # f32[...]
+    color: jnp.ndarray  # f32[..., 3]
+    range: jnp.ndarray  # f32[...]
+    kind: jnp.ndarray  # i32[...]
+    spot_dir: jnp.ndarray  # f32[..., 3]
+    spot_angle: jnp.ndarray  # f32[...]
+
+
+def gather_light(lights: Lights, light_id: jnp.ndarray, prev: bool = False) -> LightGather:
+    i = jnp.clip(light_id, 0, lights.capacity - 1)
+    if prev:
+        return LightGather(
+            lights.prev_pos[i], lights.prev_radius[i], lights.prev_color[i],
+            lights.prev_range[i], lights.prev_kind[i], lights.prev_spot_dir[i],
+            lights.prev_spot_angle[i],
+        )
+    return LightGather(
+        lights.pos[i], lights.radius[i], lights.color[i], lights.range[i],
+        lights.kind[i], lights.spot_dir[i], lights.spot_angle[i],
+    )
+
+
+class LightRadiance(NamedTuple):
+    radiance: jnp.ndarray  # f32[..., 3]
+    diff_brdf: jnp.ndarray  # f32[..., 3]
+    spec_brdf: jnp.ndarray  # f32[..., 3]
+
+    @property
+    def sum(self) -> jnp.ndarray:
+        return self.radiance * (self.diff_brdf + self.spec_brdf)
+
+
+def radiance(light: LightGather, surf) -> LightRadiance:
+    """Light::radiance (light.rs:143-207) against a Surface pytree."""
+    l_vec = light.pos - surf.point
+
+    # spot-angle falloff
+    to_point = vm.normalize(surf.point - light.pos)
+    cosang = jnp.clip(vm.dot(vm.normalize(light.spot_dir), to_point), -1.0, 1.0)
+    angle = jnp.arccos(cosang)
+    spot_f = vm.saturate(
+        1.0 - (angle / jnp.maximum(light.spot_angle, 1e-6)) ** 3.0
+    )
+    f_angle = jnp.where(light.kind == LIGHT_POINT, 1.0, spot_f)
+
+    # smooth inverse-square distance falloff
+    l2 = vm.length_squared(l_vec)
+    inv_r2 = 1.0 / jnp.maximum(vm.sqr(light.range), 1e-12)
+    factor = l2 * inv_r2
+    smooth = vm.saturate(1.0 - factor * factor)
+    attenuation = smooth * smooth / jnp.maximum(l2, 1e-4)
+    f_dist = jnp.where(jnp.isinf(light.range), 1.0, attenuation)
+
+    f_cos = vm.saturate(vm.dot(surf.normal, vm.normalize(l_vec)))
+
+    diff = brdf.diffuse_eval(surf.base_color, surf.metallic)
+
+    # representative-point sphere-light specular (light.rs:170-201)
+    v = -surf.dir
+    n = surf.normal
+    r = vm.reflect(-v, n)
+    center_to_ray = vm.dotk(l_vec, r) * r - l_vec
+    t = vm.saturate(light.radius * _rsqrt(vm.length_squared(center_to_ray)))
+    closest = l_vec + center_to_ray * t[..., None]
+    inv_len = _rsqrt(vm.length_squared(closest))
+    cr = brdf.clamped_roughness(surf.roughness)
+    i_rough = cr / vm.saturate(cr + light.radius * 0.5 * inv_len)
+    spec_dir = closest * inv_len[..., None]
+    spec = vm.sqr(i_rough)[..., None] * brdf.specular_eval(
+        surf.base_color, surf.metallic, surf.roughness, surf.reflectance,
+        n, spec_dir, v,
+    )
+
+    rad = light.color * (f_angle * f_dist * f_cos)[..., None]
+    return LightRadiance(radiance=rad, diff_brdf=diff, spec_brdf=spec)
+
+
+def _rsqrt(x):
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-20))
+
+
+def shadow_ray_wnoise(state, light: LightGather, hit_point):
+    """Light::ray_wnoise (light.rs:209-215): shadow ray *from* a point
+    on the light sphere *toward* the hit. Returns
+    (state, origin, dir, length)."""
+    state, sph = rng.sample_sphere(state)
+    light_pos = light.pos + light.radius[..., None] * sph
+    to_hit = hit_point - light_pos
+    length = vm.length(to_hit)
+    return state, light_pos, vm.normalize(to_hit), length
+
+
+def shadow_ray_bnoise(sample2, light: LightGather, hit_point):
+    """Light::ray_bnoise (light.rs:217-239): blue-noise disk sample
+    toward the light; returns (origin, dir, length) with the same
+    light->hit orientation as the reference."""
+    to_light = light.pos - hit_point
+    dist = vm.length(to_light)
+    ldir = to_light / jnp.maximum(dist, 1e-20)[..., None]
+    lrad = light.radius / jnp.maximum(dist, 1e-20)
+    tangent, bitangent = vm.any_orthonormal_pair(ldir)
+
+    angle = 2.0 * jnp.pi * sample2[..., 0]
+    radius = jnp.sqrt(jnp.maximum(sample2[..., 1], 0.0))
+    dx = jnp.sin(angle) * radius * lrad
+    dy = jnp.cos(angle) * radius * lrad
+
+    ray_dir = vm.normalize(ldir + dx[..., None] * tangent + dy[..., None] * bitangent)
+    origin = hit_point + ray_dir * dist[..., None]
+    return origin, -ray_dir, dist
