@@ -32,13 +32,15 @@ def _traverse(bvh: BvhArrays, positions, o, d, t_limit, any_hit: bool):
     inv_d = safe_inv_dir(d)
     lane = jnp.arange(r)
 
-    stack = jnp.zeros((r, maxd), jnp.int32)
-    ptr = jnp.ones((r,), jnp.int32)  # root pre-pushed at slot 0
+    # carries derived from o so they inherit shard_map varying axes
+    zero = o[..., 0] * 0.0
+    stack = jnp.zeros((r, maxd), jnp.int32) + zero[:, None].astype(jnp.int32)
+    ptr = zero.astype(jnp.int32) + 1  # root pre-pushed at slot 0
 
-    best_t = jnp.asarray(t_limit, jnp.float32) * jnp.ones((r,), jnp.float32)
-    best_tri = jnp.full((r,), -1, jnp.int32)
-    best_u = jnp.zeros((r,), jnp.float32)
-    best_v = jnp.zeros((r,), jnp.float32)
+    best_t = jnp.asarray(t_limit, jnp.float32) + zero
+    best_tri = zero.astype(jnp.int32) - 1
+    best_u = zero
+    best_v = zero
 
     def cond(carry):
         ptr, *_ = carry

@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..camera import Camera, primary_rays, screen_grid
+from ..camera import Camera, screen_grid
 from ..ops import brdf, rng
 from ..ops.hit import surface_at
 from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
@@ -45,21 +45,25 @@ def init_accumulator(camera: Camera) -> RefAccumulator:
     )
 
 
-def trace_sample(
+def sample_pixels(
     scene: Scene,
     camera: Camera,
+    grid: jnp.ndarray,  # i32[..., 2] pixel coords
     seed: jnp.ndarray,
     depth: int = 5,
     include_sky: bool = True,
 ):
-    """One path-traced sample per pixel; returns radiance [H, W, 3].
+    """One path-traced sample for each pixel in ``grid``; returns
+    radiance [..., 3]. Takes explicit pixel coords so callers can shard
+    the pixel axis across a device mesh (parallel/sharding.py).
 
     Follows ref_shading.rs bounce logic: emissive + single-light NEE +
     layered-BRDF continuation, with material regularization for
     depth > 0 (ref_shading.rs:107-109).
     """
-    grid = screen_grid(camera)
-    o, d = primary_rays(camera)
+    from ..camera import pixel_rays
+
+    o, d = pixel_rays(camera, grid)
     state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
 
     hw = o.shape[:-1]
@@ -120,6 +124,19 @@ def trace_sample(
             d = jnp.where(alive[..., None], new_dir, d)
 
     return color
+
+
+def trace_sample(
+    scene: Scene,
+    camera: Camera,
+    seed: jnp.ndarray,
+    depth: int = 5,
+    include_sky: bool = True,
+):
+    """One path-traced sample per pixel over the full screen [H, W, 3]."""
+    return sample_pixels(
+        scene, camera, screen_grid(camera), seed, depth, include_sky
+    )
 
 
 @partial(jax.jit, static_argnames=("depth", "include_sky"))

@@ -50,11 +50,13 @@ def trace_closest_brute(
     tris = positions.reshape(n_chunks, chunk, 3, 3)
     batch_shape = o.shape[:-1]
 
+    # init derived from o so the carry inherits shard_map varying axes
+    zero = o[..., 0] * 0.0
     init = (
-        jnp.full(batch_shape, jnp.inf, jnp.float32),
-        jnp.full(batch_shape, -1, jnp.int32),
-        jnp.zeros(batch_shape, jnp.float32),
-        jnp.zeros(batch_shape, jnp.float32),
+        zero + jnp.inf,
+        zero.astype(jnp.int32) - 1,
+        zero,
+        zero,
     )
 
     ob = o[..., None, :]
@@ -107,7 +109,9 @@ def trace_anyhit_brute(
         )
         return occluded | jnp.any(t < tm, axis=-1), None
 
-    occluded, _ = jax.lax.scan(body, jnp.zeros(batch_shape, bool), tris)
+    # all-False init derived from o so it inherits shard_map varying axes
+    init = o[..., 0] > jnp.inf
+    occluded, _ = jax.lax.scan(body, init, tris)
     return occluded
 
 

@@ -33,6 +33,7 @@ def cornell_box(
     emissive_lamp: bool = False,
     metallic_tall_box: bool = False,
     light_capacity: int = 4,
+    boxes: bool = True,
 ) -> Scene:
     """Box spanning x,z in [-1, 1], y in [0, 2], open toward +z camera."""
     b = MeshBuilder()
@@ -84,6 +85,11 @@ def cornell_box(
         for q in quads:
             b.add_quad(*(pt(*d) for d in q), mat)
 
+    if not boxes:
+        # occluder-free variant: useful for visibility-gradient tests
+        # (no shadow boundaries -> finite differences match autodiff)
+        return _finish(b, light_intensity, emissive_lamp, light_capacity)
+
     add_box(
         center=[-0.37, 0.6, -0.35],
         size=[0.57, 1.2, 0.57],
@@ -97,6 +103,15 @@ def cornell_box(
         mat=MAT_WHITE,
     )
 
+    return _finish(b, light_intensity, emissive_lamp, light_capacity)
+
+
+def _finish(
+    b: MeshBuilder,
+    light_intensity: float,
+    emissive_lamp: bool,
+    light_capacity: int,
+) -> Scene:
     lamp_emissive = light_intensity if emissive_lamp else 0.0
     materials = make_materials(
         [
