@@ -1,0 +1,226 @@
+"""The real-time ReSTIR render pipeline — flagship model.
+
+Functional analogue of CameraController::render
+(strolle/src/camera_controller.rs:87-174): one jitted `render_frame`
+step that threads a RenderState pytree (the reference's per-camera
+buffers: prev surface/camera, reservoir history, denoiser state,
+frame counter) through the stage functions:
+
+    atmosphere (cached LUTs)            [stage 5, optional here]
+    primary_pass  (ray-cast G-buffer + velocity)
+    frame_reprojection
+    DI: sampling -> temporal -> spatial -> resolving
+    GI: reprojection -> sampling -> temporal -> spatial -> preview -> resolve
+    SVGF denoise (DI diffuse + GI diffuse)
+    composition
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, screen_grid
+from ..denoise.svgf import DenoiserState, denoise_channel
+from ..ops import bluenoise, rng
+from ..ops.hit import Surface
+from ..restir import di as di_mod
+from ..restir import gi as gi_mod
+from ..restir.gi import GiReservoirs
+from ..restir.primary import (
+    Reprojection,
+    build_reprojection_map,
+    primary_pass,
+)
+from ..restir.reservoir import DiReservoirs
+from ..scene.types import Scene
+from ..sky.atmosphere import sample_sky, sun_direction
+from ..utils.pytree import pytree_dataclass
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static pipeline configuration (the CameraMode analogue,
+    strolle/src/camera.rs:83-168, plus the hard-coded constants of
+    SURVEY.md §5.6 worth overriding)."""
+
+    mode: str = "image"  # image|di_diffuse|di_specular|gi_diffuse|
+    #                      gi_specular|reference|bvh_heatmap
+    denoise: bool = True
+    needs_di: bool = True
+    needs_gi: bool = True
+    include_sky: bool = False  # evaluate atmosphere for miss pixels
+
+
+@pytree_dataclass
+class RenderState:
+    """Temporal state carried frame-to-frame (the per-camera buffers of
+    camera_controller/buffers.rs that outlive one frame)."""
+
+    frame: jnp.ndarray  # i32[]
+    prev_camera: Camera
+    prev_surface: Surface  # [H, W]
+    di_prev: DiReservoirs  # di[0]: resolved reservoirs
+    gi_prev: GiReservoirs  # gi[0]: resolved reservoirs
+    di_diff_denoiser: DenoiserState
+    gi_diff_denoiser: DenoiserState
+
+
+def _empty_surface(h: int, w: int) -> Surface:
+    z = jnp.zeros((h, w), jnp.float32)
+    z3 = jnp.zeros((h, w, 3), jnp.float32)
+    return Surface(
+        point=z3,
+        dir=z3,
+        normal=z3,
+        uv=jnp.zeros((h, w, 2), jnp.float32),
+        material_id=jnp.zeros((h, w), jnp.int32),
+        base_color=jnp.zeros((h, w, 4), jnp.float32),
+        emissive=z3,
+        metallic=z,
+        roughness=z,
+        reflectance=z,
+        depth=z,
+        is_some=jnp.zeros((h, w), bool),
+    )
+
+
+def init_state(camera: Camera) -> RenderState:
+    h, w = camera.height, camera.width
+    return RenderState(
+        frame=jnp.asarray(0, jnp.int32),
+        prev_camera=camera,
+        prev_surface=_empty_surface(h, w),
+        di_prev=DiReservoirs.empty((h, w)),
+        gi_prev=GiReservoirs.empty((h, w)),
+        di_diff_denoiser=DenoiserState.empty((h, w)),
+        gi_diff_denoiser=DenoiserState.empty((h, w)),
+    )
+
+
+def derive_seed(seed, k: int):
+    """Per-pass seed (the reference rolls a fresh random seed per pass,
+    camera_controller.rs:189-194; we derive deterministically)."""
+    mix = jnp.uint32((0x9E3779B9 * (k + 1)) & 0xFFFFFFFF)
+    s, _ = rng.next_u32(jnp.asarray(seed, jnp.uint32) + mix)
+    return s
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame(
+    scene: Scene,
+    camera: Camera,
+    state: RenderState,
+    seed,
+    config: RenderConfig = RenderConfig(),
+):
+    """Renders one frame; returns (channels dict, new state)."""
+    h, w = camera.height, camera.width
+    frame = state.frame
+    grid = screen_grid(camera)
+
+    surf, velocity = primary_pass(scene, camera, state.prev_camera)
+    reproj = build_reprojection_map(camera, surf, state.prev_surface, velocity)
+
+    sun = sun_direction(scene.sun_azimuth, scene.sun_altitude)
+    if config.include_sky:
+        from ..camera import pixel_rays
+
+        _, prim_d = pixel_rays(camera, grid)
+        sky = sample_sky(sun, prim_d)
+    else:
+        sky = jnp.zeros((h, w, 3), jnp.float32)
+
+    bn_first, bn_second = bluenoise.sample_pair(grid, frame)
+
+    zeros4 = jnp.zeros((h, w, 4), jnp.float32)
+    di_diff, di_spec = zeros4, zeros4
+    gi_diff, gi_spec = zeros4, zeros4
+    di_prev = state.di_prev
+    gi_prev = state.gi_prev
+
+    if config.needs_di:
+        a = di_mod.di_sampling(
+            scene, camera, surf, derive_seed(seed, 0), bn_first
+        )
+        b = di_mod.di_temporal(
+            scene,
+            camera,
+            surf,
+            state.prev_surface,
+            reproj,
+            a,
+            state.di_prev,
+            derive_seed(seed, 1),
+        )
+        c = di_mod.di_spatial(
+            scene, camera, surf, b, derive_seed(seed, 2), frame
+        )
+        di_diff, di_spec, di_prev = di_mod.di_resolving(
+            scene, camera, surf, c, sky
+        )
+
+    if config.needs_gi:
+        gi_diff, gi_spec, gi_prev = gi_mod.gi_pipeline(
+            scene,
+            camera,
+            surf,
+            state.prev_surface,
+            reproj,
+            state.gi_prev,
+            seed,
+            frame,
+            bn_second,
+        )
+
+    # --- denoising (SVGF on the diffuse channels; spec is not denoised,
+    # README.md:40) -----------------------------------------------------
+    di_den = state.di_diff_denoiser
+    gi_den = state.gi_diff_denoiser
+    if config.denoise and config.needs_di:
+        di_diff_rgb, di_den = denoise_channel(
+            di_diff, surf, reproj, state.di_diff_denoiser, frame, kind="di"
+        )
+    else:
+        di_diff_rgb = di_diff[..., :3]
+    if config.denoise and config.needs_gi:
+        gi_diff_rgb, gi_den = denoise_channel(
+            gi_diff, surf, reproj, state.gi_diff_denoiser, frame, kind="gi"
+        )
+    else:
+        gi_diff_rgb = gi_diff[..., :3]
+
+    # --- composition (frame_composition.rs:38-79) ----------------------
+    albedo = surf.base_color[..., :3]
+    image = jnp.where(
+        surf.is_some[..., None],
+        surf.emissive
+        + (di_diff_rgb + gi_diff_rgb) * albedo
+        + di_spec[..., :3]
+        + gi_spec[..., :3],
+        di_diff_rgb,
+    )
+
+    channels = {
+        "image": image,
+        "di_diffuse": di_diff_rgb,
+        "di_specular": di_spec[..., :3],
+        "gi_diffuse": gi_diff_rgb,
+        "gi_specular": gi_spec[..., :3],
+        "albedo": albedo,
+        "depth": surf.depth,
+    }
+
+    new_state = RenderState(
+        frame=frame + 1,
+        prev_camera=camera,
+        prev_surface=surf,
+        di_prev=di_prev,
+        gi_prev=gi_prev,
+        di_diff_denoiser=di_den,
+        gi_diff_denoiser=gi_den,
+    )
+    return channels, new_state

@@ -1,0 +1,370 @@
+"""ReSTIR DI: initial candidates, temporal reuse, spatial reuse, resolve.
+
+Stage-for-stage re-derivation of the reference DI pipeline
+(strolle-shaders/src/di_{sampling,temporal_resampling,
+spatial_resampling,resolving}.rs) with the reservoir-slot wiring of
+SURVEY.md §3.3 expressed as dataflow:
+
+    sampling               -> A   (fresh candidates, m = 1)
+    temporal(prev=di0, A)  -> B
+    spatial(B)             -> C   (checkerboarded half; other half = B)
+    resolving(C)           -> di0' + demodulated diffuse/specular
+
+Each stage is a pure [H, W]-batched function; there are no scratch
+textures or pick/trace/sample kernel splits — the ray batches the
+reference stages exist to build are just intermediate arrays here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..camera import Camera, contain, screen_grid
+from ..ops import brdf, math as vm, rng
+from ..ops.hit import Surface
+from ..ops.lights import (
+    gather_light,
+    radiance,
+    shadow_ray_bnoise,
+)
+from ..ops.trace import trace_anyhit
+from ..scene.types import LIGHT_NONE, Scene
+from . import reservoir as rsv
+from .mis import mis_eval
+from .primary import Reprojection
+
+#: DI temporal history clamp (di_temporal_resampling.rs:69).
+DI_TEMPORAL_M_CLAMP = 64.0
+#: RIS candidate count (ephemeral.rs:24-28).
+DI_CANDIDATES = 16
+#: Spatial search tries / initial radius (di_spatial_resampling.rs:55-99).
+DI_SPATIAL_SAMPLES = 8
+DI_SPATIAL_RADIUS = 128.0
+
+
+def _white(surf: Surface) -> Surface:
+    return surf.replace(base_color=jnp.ones_like(surf.base_color))
+
+
+def di_sample_pdf(scene: Scene, light_id, light_point, surf: Surface, prev=False):
+    """DiSample::pdf (reservoir/di.rs:96-117): luma of the light's
+    radiance at the hit with white albedo; zero for dead lights or
+    points outside the light sphere."""
+    light = gather_light(scene.lights, light_id, prev=prev)
+    rad = radiance(light, _white(surf))
+    ok = (light.kind != LIGHT_NONE) & (
+        vm.length(light.pos - light_point) <= light.radius
+    )
+    return jnp.where(ok & surf.is_some, vm.luma(rad.sum), 0.0)
+
+
+def sample_shadow_ray(light_point, hit_point):
+    """DiSample::ray (di.rs:119-123): from the stored light point toward
+    the hit. Returns (origin, dir, length)."""
+    d = hit_point - light_point
+    length = vm.length(d)
+    return light_point, d / jnp.maximum(length, 1e-20)[..., None], length
+
+
+def di_sampling(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    seed,
+    bnoise_sample,  # f32[H, W, 2] blue-noise pair for the shadow ray
+) -> rsv.DiReservoirs:
+    """Initial candidate generation (di_sampling.rs): RIS over up to 16
+    uniform light picks, then one blue-noise shadow ray; occluded
+    candidates keep their sample but get w = 0."""
+    shape = surf.depth.shape
+    grid = screen_grid(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+
+    lcount = scene.lights.count
+    max_samples = jnp.minimum(lcount, DI_CANDIDATES)
+    sample_ipdf = lcount.astype(jnp.float32)
+
+    eph = rsv.DiReservoirs.empty(shape)
+    eph_pdf = jnp.zeros(shape, jnp.float32)
+
+    for nth in range(DI_CANDIDATES):
+        state, word = rng.next_u32(state)
+        light_id = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(
+            jnp.int32
+        )
+        light = gather_light(scene.lights, light_id)
+        rad = radiance(light, surf)
+        cand_pdf = vm.perc_luma(rad.radiance)
+        cand = eph.replace(light_id=light_id, pdf=cand_pdf)
+        enabled = (nth < max_samples) & surf.is_some
+        state, eph, accepted = rsv.update(
+            state, eph, cand, cand_pdf * sample_ipdf, enabled
+        )
+        eph_pdf = jnp.where(accepted, cand_pdf, eph_pdf)
+
+    eph = rsv.norm_avg(eph, eph_pdf)
+
+    # one shadow ray for the winning light (blue-noise disk sample)
+    light = gather_light(scene.lights, eph.light_id)
+    sr_o, sr_d, sr_len = shadow_ray_bnoise(bnoise_sample, light, surf.point)
+    occluded = trace_anyhit(scene, sr_o, sr_d, sr_len)
+
+    valid = (eph.m > 0.0) & surf.is_some
+    return rsv.DiReservoirs(
+        m=jnp.where(valid, 1.0, 0.0),
+        w=jnp.where(valid & ~occluded, eph.w, 0.0),
+        pdf=jnp.zeros(shape, jnp.float32),
+        confidence=jnp.zeros(shape, jnp.float32),
+        light_id=jnp.where(valid, eph.light_id, 0),
+        light_point=jnp.where(valid[..., None], sr_o, 0.0),
+        is_occluded=occluded & valid,
+    )
+
+
+def di_temporal(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    prev_surf: Surface,
+    reproj: Reprojection,
+    curr: rsv.DiReservoirs,
+    prev: rsv.DiReservoirs,
+    seed,
+) -> rsv.DiReservoirs:
+    """Temporal merge with reprojected history
+    (di_temporal_resampling.rs): M clamp 64, light kill/remap handling,
+    defensive pairwise MIS, norm_mis."""
+    grid = screen_grid(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    shape = surf.depth.shape
+
+    lhs = curr.replace(
+        pdf=jnp.where(
+            ~curr.is_empty,
+            di_sample_pdf(scene, curr.light_id, curr.light_point, surf),
+            curr.pdf,
+        )
+    )
+
+    # fetch history at the reprojected position
+    has_rep = reproj.is_some
+    rpos = reproj.prev_pos_round
+    rx = jnp.clip(rpos[..., 0], 0, camera.width - 1)
+    ry = jnp.clip(rpos[..., 1], 0, camera.height - 1)
+    rhs = prev.gather(ry, rx)
+    rhs = rsv.select(has_rep, rhs, rsv.DiReservoirs.empty(shape))
+    rhs = rsv.clamp_m(rhs, DI_TEMPORAL_M_CLAMP)
+
+    # light slot lifecycle (lights.rs kill/remap protocol)
+    lid = jnp.clip(rhs.light_id, 0, scene.lights.capacity - 1)
+    killed = (scene.lights.killed[lid] != 0) & ~rhs.is_empty
+    remapped = scene.lights.remap[lid]
+    rhs = rhs.replace(
+        w=jnp.where(killed, 0.0, rhs.w),
+        light_id=jnp.where(
+            (remapped >= 0) & ~killed & ~rhs.is_empty, remapped, rhs.light_id
+        ),
+    )
+
+    rhs_surf = _gather_surface(prev_surf, ry, rx)
+
+    lhs_rhs_pdf = jnp.where(
+        (lhs.m > 0.0) & rhs_surf.is_some,
+        di_sample_pdf(scene, lhs.light_id, lhs.light_point, rhs_surf, prev=True),
+        0.0,
+    )
+    rhs_lhs_pdf = jnp.where(
+        (rhs.m > 0.0) & ~killed,
+        di_sample_pdf(scene, rhs.light_id, rhs.light_point, surf),
+        0.0,
+    )
+
+    mis = mis_eval(
+        lhs_m=lhs.m,
+        rhs_m=rhs.m,
+        rhs_jacobian=jnp.ones(shape, jnp.float32),
+        lhs_lhs_pdf=lhs.pdf,
+        lhs_rhs_pdf=lhs_rhs_pdf,
+        rhs_lhs_pdf=rhs_lhs_pdf,
+        rhs_rhs_pdf=rhs.pdf,
+    )
+
+    main = rsv.DiReservoirs.empty(shape)
+    main_pdf = jnp.zeros(shape, jnp.float32)
+    state, main, acc = rsv.update(
+        state, main, lhs, mis.lhs_mis * mis.lhs_pdf * lhs.w
+    )
+    main_pdf = jnp.where(acc, mis.lhs_pdf, main_pdf)
+    state, main, acc = rsv.update(
+        state, main, rhs, mis.rhs_mis * mis.rhs_pdf * rhs.w
+    )
+    main_pdf = jnp.where(acc, mis.rhs_pdf, main_pdf)
+
+    main = main.replace(
+        m=lhs.m + mis.m,
+        pdf=main_pdf,
+        confidence=jnp.where(killed, 0.0, 1.0),
+    )
+    main = rsv.norm_mis(main, main_pdf)
+    # pixels with no primary hit keep an empty reservoir
+    return rsv.select(surf.is_some, main, rsv.DiReservoirs.empty(shape))
+
+
+def _gather_surface(surf: Surface, y, x) -> Surface:
+    import jax
+
+    return jax.tree.map(lambda a: a[y, x], surf)
+
+
+def checkerboard_active(camera: Camera, frame) -> jnp.ndarray:
+    """Mask of pixels processed by the spatial pass this frame
+    (resolve_checkerboard_alt coverage, utils.rs:33-43): x parity equals
+    (frame/2 + 1 + y) % 2."""
+    grid = screen_grid(camera)
+    parity = (jnp.asarray(frame, jnp.int32) // 2 + 1 + grid[..., 1]) % 2
+    return (grid[..., 0] % 2) == parity
+
+
+def di_spatial(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    res: rsv.DiReservoirs,
+    seed,
+    frame,
+) -> rsv.DiReservoirs:
+    """Checkerboarded spatial reuse (di_spatial_resampling.rs): pick one
+    similar neighbor in <= 8 tries (radius 128 px halving to >= 5 on
+    rejection, depth within 33%, normal dot >= 0.33), trace both
+    cross-visibility rays, merge with visibility-weighted MIS. The
+    non-active checkerboard half passes through unchanged."""
+    h, w = surf.depth.shape
+    grid = screen_grid(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    shape = (h, w)
+    active = checkerboard_active(camera, frame)
+
+    lhs = res
+
+    done = jnp.zeros(shape, bool)
+    rhs_x = jnp.zeros(shape, jnp.int32)
+    rhs_y = jnp.zeros(shape, jnp.int32)
+    radius = jnp.full(shape, DI_SPATIAL_RADIUS, jnp.float32)
+
+    for _ in range(DI_SPATIAL_SAMPLES):
+        state, disk = rng.sample_disk(state)
+        cand = contain(
+            camera,
+            (grid.astype(jnp.float32) + disk * radius[..., None]).astype(
+                jnp.int32
+            ),
+        )
+        cx, cy = cand[..., 0], cand[..., 1]
+        same = (cx == grid[..., 0]) & (cy == grid[..., 1])
+        c_depth = surf.depth[cy, cx]
+        c_normal = surf.normal[cy, cx]
+        c_sky = ~surf.is_some[cy, cx]
+        depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
+        normal_bad = vm.dot(c_normal, surf.normal) < 0.33
+        gate_fail = c_sky | depth_bad | normal_bad
+        shrink = ~done & ~same & gate_fail
+        radius = jnp.where(shrink, jnp.maximum(radius * 0.5, 5.0), radius)
+        cand_nonempty = res.m[cy, cx] > 0.0
+        accept = ~done & ~same & ~gate_fail & cand_nonempty
+        rhs_x = jnp.where(accept, cx, rhs_x)
+        rhs_y = jnp.where(accept, cy, rhs_y)
+        done = done | accept
+
+    found = done & active & surf.is_some
+    rhs = res.gather(rhs_y, rhs_x)
+    rhs = rsv.select(found, rhs, rsv.DiReservoirs.empty(shape))
+    rhs_surf = _gather_surface(surf, rhs_y, rhs_x)
+
+    lhs_rhs_pdf = jnp.where(
+        found, di_sample_pdf(scene, lhs.light_id, lhs.light_point, rhs_surf), 0.0
+    )
+    rhs_lhs_pdf = jnp.where(
+        found, di_sample_pdf(scene, rhs.light_id, rhs.light_point, surf), 0.0
+    )
+
+    # cross-visibility rays (the reference's pick->trace scratch round-trip)
+    a_o, a_d, a_len = sample_shadow_ray(lhs.light_point, rhs_surf.point)
+    b_o, b_d, b_len = sample_shadow_ray(rhs.light_point, surf.point)
+    a_len = jnp.where(found & (lhs_rhs_pdf > 0.0), a_len, 0.0)
+    b_len = jnp.where(found & (rhs_lhs_pdf > 0.0), b_len, 0.0)
+    lhs_rhs_vis = jnp.where(trace_anyhit(scene, a_o, a_d, a_len), 0.0, 1.0)
+    rhs_lhs_vis = jnp.where(trace_anyhit(scene, b_o, b_d, b_len), 0.0, 1.0)
+
+    mis = mis_eval(
+        lhs_m=lhs.m,
+        rhs_m=rhs.m,
+        rhs_jacobian=jnp.ones(shape, jnp.float32),
+        lhs_lhs_pdf=lhs.pdf,
+        lhs_rhs_pdf=lhs_rhs_pdf * lhs_rhs_vis,
+        rhs_lhs_pdf=rhs_lhs_pdf * rhs_lhs_vis,
+        rhs_rhs_pdf=rhs.pdf,
+    )
+
+    main = rsv.DiReservoirs.empty(shape)
+    main_pdf = jnp.zeros(shape, jnp.float32)
+    state, main, acc = rsv.update(
+        state, main, lhs, mis.lhs_mis * mis.lhs_pdf * lhs.w
+    )
+    main_pdf = jnp.where(acc, mis.lhs_pdf, main_pdf)
+    state, main, acc = rsv.update(
+        state, main, rhs, mis.rhs_mis * mis.rhs_pdf * rhs.w
+    )
+    main_pdf = jnp.where(acc, mis.rhs_pdf, main_pdf)
+    # NOTE: the reference sets the merged sample's occlusion flag from
+    # the *lhs@rhs* visibility here (di_spatial_resampling.rs:270-276);
+    # replicated as-is.
+    main = main.replace(
+        is_occluded=jnp.where(acc, lhs_rhs_vis == 0.0, main.is_occluded)
+    )
+
+    main = main.replace(m=lhs.m + mis.m, pdf=main_pdf)
+    main = rsv.norm_mis(main, main_pdf)
+
+    return rsv.select(found, main, lhs)
+
+
+def di_resolving(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    res: rsv.DiReservoirs,
+    sky_radiance: jnp.ndarray,  # f32[H, W, 3] atmosphere for miss pixels
+):
+    """Final DI shade (di_resolving.rs): re-trace the winning shadow
+    ray, derive temporal confidence (0 where the occlusion flag
+    flipped), output demodulated diffuse + specular with confidence in
+    alpha, and persist the reservoir as next frame's history."""
+    sr_o, sr_d, sr_len = sample_shadow_ray(res.light_point, surf.point)
+    sr_len = jnp.where(surf.is_some, sr_len, 0.0)
+    is_occluded = trace_anyhit(scene, sr_o, sr_d, sr_len)
+
+    confidence = jnp.where(
+        res.is_occluded == is_occluded, res.confidence, 0.0
+    )
+    out_res = res.replace(
+        confidence=jnp.where(surf.is_some, 1.0, res.confidence),
+        is_occluded=jnp.where(surf.is_some, is_occluded, res.is_occluded),
+    )
+
+    light = gather_light(scene.lights, res.light_id)
+    rad = radiance(light, surf)
+    lit = surf.is_some & ~is_occluded
+    rad_rgb = jnp.where(lit[..., None], rad.radiance * res.w[..., None], 0.0)
+    spec_brdf = jnp.where(lit[..., None], rad.spec_brdf, 0.0)
+
+    # sky pixels: atmosphere radiance with diff_brdf = 1 (resolving.rs:93-101)
+    rad_rgb = jnp.where(surf.is_some[..., None], rad_rgb, sky_radiance)
+    confidence = jnp.where(surf.is_some, confidence, 1.0)
+
+    diff_brdf = (1.0 - surf.metallic) / jnp.pi
+    diff = rad_rgb * diff_brdf[..., None]
+    spec = rad_rgb * spec_brdf
+
+    diff_out = jnp.concatenate([diff, confidence[..., None]], axis=-1)
+    spec_out = jnp.concatenate([spec, confidence[..., None]], axis=-1)
+    return diff_out, spec_out, out_res

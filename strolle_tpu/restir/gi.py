@@ -1,0 +1,743 @@
+"""ReSTIR GI: one-bounce indirect lighting with reservoir reuse.
+
+Stage-for-stage re-derivation of the reference GI pipeline
+(strolle-shaders/src/gi_*.rs) with the gi[0..3] slot rotation of
+SURVEY.md §3.3 expressed as dataflow:
+
+    reproject(gi0)                  -> rep      (gi[2])
+    sampling a+b (rep)              -> cand     (gi[1], covered pixels)
+    temporal(cand, rep)             -> t        (gi[1])
+    [odd tracing frames] spatial(t) -> s        (gi[2]); source = s|t
+    preview1(source, r=128)         -> p1       (gi[3])
+    preview2(p1, r=64)              -> p2       (gi[0])
+    resolve: shade from p2, persist `source` as next frame's history
+
+Temporal amortization follows frame.rs:20-26: frames 0-3 of each
+6-frame cycle trace new BRDF rays on a checkerboard half; frames 4-5
+replay stored reservoir rays (RNG state is carried inside the sample)
+and validate radiance, overwriting stale samples in place
+(gi_temporal_resampling.rs:80-101 bias-control strategy).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, contain, screen_grid
+from ..ops import brdf, math as vm, rng
+from ..ops.hit import Surface, surface_at
+from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
+from ..ops.trace import trace_anyhit, trace_closest
+from ..scene.types import Scene
+from ..sky.atmosphere import SUN_DISTANCE, sample_sky, sun_direction
+from ..utils.pytree import pytree_dataclass
+from .mis import mis_eval
+from .primary import Reprojection
+
+GI_TEMPORAL_M_CLAMP = 128.0
+GI_W_CLAMP = 5.0
+GI_JACOBIAN_REJECT = 10.0
+GI_JACOBIAN_CLAMP = 3.0
+GI_SPATIAL_SAMPLES = 8
+GI_SPATIAL_RADIUS = 128.0
+GI_VALIDATION_THRESHOLD = 0.33
+SKY_SAMPLE_PROB = 0.25
+
+
+def is_gi_tracing(frame) -> jnp.ndarray:
+    """frame.rs:20-26: 6-frame cycle, frames 0-3 trace, 4-5 validate."""
+    return (jnp.asarray(frame, jnp.int32) % 6) < 4
+
+
+@pytree_dataclass
+class GiReservoirs:
+    """Per-pixel GI reservoirs (reservoir/gi.rs GiReservoir+GiSample)."""
+
+    m: jnp.ndarray  # f32[...]
+    w: jnp.ndarray  # f32[...]
+    pdf: jnp.ndarray  # f32[...]
+    confidence: jnp.ndarray  # f32[...]
+    rng: jnp.ndarray  # u32[...]  stored RNG state for replay
+    radiance: jnp.ndarray  # f32[..., 3]
+    v1_point: jnp.ndarray  # f32[..., 3]
+    v2_point: jnp.ndarray  # f32[..., 3]
+    v2_normal: jnp.ndarray  # f32[..., 3]
+
+    @property
+    def is_empty(self) -> jnp.ndarray:
+        return self.m == 0.0
+
+    @property
+    def exists(self) -> jnp.ndarray:
+        """GiSample::exists: v2_point != 0."""
+        return jnp.any(self.v2_point != 0.0, axis=-1)
+
+    @staticmethod
+    def empty(shape) -> "GiReservoirs":
+        z = jnp.zeros(shape, jnp.float32)
+        z3 = jnp.zeros(shape + (3,), jnp.float32)
+        return GiReservoirs(
+            m=z, w=z, pdf=z, confidence=z,
+            rng=jnp.zeros(shape, jnp.uint32),
+            radiance=z3, v1_point=z3, v2_point=z3, v2_normal=z3,
+        )
+
+    def gather(self, y, x) -> "GiReservoirs":
+        return jax.tree.map(lambda a: a[y, x], self)
+
+
+def select(mask, a: GiReservoirs, b: GiReservoirs) -> GiReservoirs:
+    def sel(x, y):
+        m = mask[..., None] if x.ndim > mask.ndim else mask
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+_SAMPLE_FIELDS = ("pdf", "rng", "radiance", "v1_point", "v2_point", "v2_normal")
+
+
+def _select_sample(mask, cand: GiReservoirs, res: GiReservoirs) -> GiReservoirs:
+    updates = {}
+    for f in _SAMPLE_FIELDS:
+        a = getattr(cand, f)
+        b = getattr(res, f)
+        m = mask[..., None] if a.ndim > mask.ndim else mask
+        updates[f] = jnp.where(m, a, b)
+    return res.replace(**updates)
+
+
+def update(state, res: GiReservoirs, cand: GiReservoirs, weight, enabled=None):
+    weight = jnp.asarray(weight, jnp.float32)
+    if enabled is None:
+        enabled = jnp.ones(weight.shape, bool)
+    m = res.m + 1.0
+    w = res.w + weight
+    state, u = rng.next_f32(state)
+    accept = (u * w < weight) & enabled
+    out = res.replace(
+        m=jnp.where(enabled, m, res.m), w=jnp.where(enabled, w, res.w)
+    )
+    out = _select_sample(accept, cand, out)
+    return state, out, accept
+
+
+def merge(state, res: GiReservoirs, rhs: GiReservoirs, pdf, enabled=None):
+    ok = rhs.m > 0.0
+    if enabled is not None:
+        ok = ok & enabled
+    res2 = res.replace(m=jnp.where(ok, res.m + rhs.m - 1.0, res.m))
+    return update(state, res2, rhs, rhs.w * rhs.m * pdf, ok)
+
+
+def _norm(res: GiReservoirs, pdf, denom_extra) -> GiReservoirs:
+    denom = pdf * denom_extra
+    w = jnp.where(denom == 0.0, 0.0, res.w / jnp.where(denom == 0.0, 1.0, denom))
+    return res.replace(w=w)
+
+
+def norm_mis(res, pdf):
+    return _norm(res, pdf, 1.0)
+
+
+def norm_avg(res, pdf):
+    return _norm(res, pdf, res.m)
+
+
+def clamp_w(res, mx=GI_W_CLAMP):
+    return res.replace(w=jnp.minimum(res.w, mx))
+
+
+# ---------------------------------------------------------------------------
+# sample math (GiSample methods)
+# ---------------------------------------------------------------------------
+
+
+def sample_dir(res: GiReservoirs, point):
+    return vm.normalize(res.v2_point - point)
+
+
+def sample_cosine(res: GiReservoirs, surf: Surface):
+    return jnp.maximum(vm.dot(sample_dir(res, surf.point), surf.normal), 0.0)
+
+
+def sample_pdf(res: GiReservoirs, surf: Surface):
+    """GiSample::pdf (gi.rs:98-112): luma(radiance) * cosine *
+    (diffuse + specular brdf luma) with white albedo."""
+    white = jnp.ones_like(surf.base_color)
+    d = sample_dir(res, surf.point)
+    diff = vm.luma(brdf.diffuse_eval(white, surf.metallic))
+    spec = vm.luma(
+        brdf.specular_eval(
+            white, surf.metallic, surf.roughness, surf.reflectance,
+            surf.normal, d, -surf.dir,
+        )
+    )
+    pdf = vm.luma(res.radiance) * sample_cosine(res, surf) * (diff + spec)
+    return jnp.where(res.exists & surf.is_some, pdf, 0.0)
+
+
+def sample_ray(res: GiReservoirs, hit_point):
+    """GiSample::ray: reconnection ray from the surface toward v2, with
+    the -0.01 length backoff. Returns (origin, dir, length)."""
+    d = res.v2_point - hit_point
+    dist = vm.length(d)
+    return (
+        hit_point,
+        d / jnp.maximum(dist, 1e-20)[..., None],
+        jnp.maximum(dist - 0.01, 0.0),
+    )
+
+
+def sample_jacobian(res: GiReservoirs, new_hit_point):
+    """Reconnection-shift Jacobian (gi.rs:135-159)."""
+
+    def partial(p):
+        vec = p - res.v2_point
+        dist = vm.length(vec)
+        cos = vm.saturate(
+            vm.dot(res.v2_normal, vec / jnp.maximum(dist, 1e-20)[..., None])
+        )
+        return dist, cos
+
+    nd, nc = partial(new_hit_point)
+    od, oc = partial(res.v1_point)
+    x = nc * od * od
+    y = oc * nd * nd
+    j = jnp.where(y == 0.0, 0.0, x / jnp.where(y == 0.0, 1.0, y))
+    return jnp.where(res.exists, j, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# checkerboard coverage (utils.rs:33-43 + frame.rs schedule)
+# ---------------------------------------------------------------------------
+
+
+def got_checkerboard_at(grid, f):
+    """got_checkerboard_at(pos, f): x parity == (f + y) % 2."""
+    f = jnp.asarray(f, jnp.int32)
+    return (grid[..., 0] % 2) == ((f + grid[..., 1]) % 2)
+
+
+def gi_coverage(grid, frame):
+    """Pixels traced by gi_sampling this frame (gi_sampling_a.rs:27-33)."""
+    frame = jnp.asarray(frame, jnp.int32)
+    return jnp.where(
+        is_gi_tracing(frame),
+        got_checkerboard_at(grid, frame // 2),
+        got_checkerboard_at(grid, frame),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+def gi_reproject(
+    camera: Camera, surf: Surface, reproj: Reprojection, gi_prev: GiReservoirs
+) -> GiReservoirs:
+    """gi_reprojection.rs: gather the previous reservoir at the
+    reprojected position; confidence := 1, v1 := current hit point."""
+    shape = surf.depth.shape
+    rpos = reproj.prev_pos_round
+    rx = jnp.clip(rpos[..., 0], 0, camera.width - 1)
+    ry = jnp.clip(rpos[..., 1], 0, camera.height - 1)
+    rep = gi_prev.gather(ry, rx)
+    rep = select(reproj.is_some, rep, GiReservoirs.empty(shape))
+    rep = rep.replace(
+        confidence=jnp.ones(shape, jnp.float32),
+        v1_point=surf.point,
+    )
+    return select(surf.is_some, rep, GiReservoirs.empty(shape))
+
+
+def gi_sampling(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    rep: GiReservoirs,
+    seed_a,
+    seed_b,
+    frame,
+) -> GiReservoirs:
+    """gi_sampling_a + gi_sampling_b fused: trace the bounce ray (fresh
+    BRDF sample on tracing frames; replayed reservoir ray on validation
+    frames), then shade the secondary vertex with sky-vs-RIS light
+    selection and one shadow ray. Covered pixels only; others empty."""
+    shape = surf.depth.shape
+    grid = screen_grid(camera)
+    tracing = is_gi_tracing(frame)
+    covered = gi_coverage(grid, frame)
+
+    # --- part A: the bounce ray ---------------------------------------
+    state_a = rng.wnoise_new(seed_a, grid[..., 0], grid[..., 1])
+    state_a, brdf_dir, brdf_pdf, _brdf_rad = brdf.layered_sample(
+        state_a,
+        surf.base_color,
+        surf.metallic,
+        surf.roughness,
+        surf.reflectance,
+        surf.normal,
+        -surf.dir,
+    )
+    replay_dir = sample_dir(rep, rep.v1_point)
+    gi_dir = jnp.where(tracing, brdf_dir, replay_dir)
+    gi_pdf = jnp.where(tracing, brdf_pdf, 1.0)
+    gi_origin = jnp.where(tracing, surf.point, rep.v1_point)
+    # lanes that produce no ray: uncovered; miss pixels when tracing;
+    # empty reservoirs when validating
+    active = covered & jnp.where(tracing, surf.is_some, ~rep.is_empty)
+
+    hit = trace_closest(scene, gi_origin, gi_dir)
+    gi_surf = surface_at(scene, gi_origin, gi_dir, hit, regularize=True)
+
+    # --- part B: shade the secondary vertex ---------------------------
+    state_fresh = rng.wnoise_new(seed_b, grid[..., 0], grid[..., 1])
+    state = jnp.where(tracing, state_fresh, rep.rng)
+    rng0 = state  # stored in the sample for validation replay
+
+    sun = sun_direction(scene.sun_azimuth, scene.sun_altitude)
+    lcount = scene.lights.count
+    atmosphere_pdf = jnp.where(scene.sun_altitude <= -1.0, 0.0, SKY_SAMPLE_PROB)
+
+    state, u_sky = rng.next_f32(state)
+    pick_sky = (lcount == 0) | (u_sky < atmosphere_pdf)
+
+    # sky branch: hemisphere sample around the secondary normal
+    sky_state, sky_dir = rng.sample_hemisphere(state, gi_surf.normal)
+    sky_rad = sample_sky(sun, sky_dir) * vm.dotk(gi_surf.normal, sky_dir)
+
+    # light branch: ephemeral RIS over the lights at the secondary hit
+    from .di import DI_CANDIDATES
+
+    eph_state = state
+    eph_m = jnp.zeros(shape, jnp.float32)
+    eph_w = jnp.zeros(shape, jnp.float32)
+    eph_pdf = jnp.zeros(shape, jnp.float32)
+    eph_light = jnp.zeros(shape, jnp.int32)
+    eph_rad = jnp.zeros(shape + (3,), jnp.float32)
+    eph_spec = jnp.zeros(shape + (3,), jnp.float32)
+    max_samples = jnp.minimum(lcount, DI_CANDIDATES)
+    ipdf = lcount.astype(jnp.float32)
+    for nth in range(DI_CANDIDATES):
+        eph_state, word = rng.next_u32(eph_state)
+        lid = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(jnp.int32)
+        lg = gather_light(scene.lights, lid)
+        lr = radiance(lg, gi_surf)
+        cpdf = vm.perc_luma(lr.radiance)
+        enabled = nth < max_samples
+        m = eph_m + 1.0
+        w = eph_w + cpdf * ipdf
+        eph_state, uu = rng.next_f32(eph_state)
+        accept = (uu * w < cpdf * ipdf) & enabled
+        eph_m = jnp.where(enabled, m, eph_m)
+        eph_w = jnp.where(enabled, w, eph_w)
+        eph_pdf = jnp.where(accept, cpdf, eph_pdf)
+        eph_light = jnp.where(accept, lid, eph_light)
+        eph_rad = jnp.where(accept[..., None], lr.radiance, eph_rad)
+        eph_spec = jnp.where(accept[..., None], lr.spec_brdf, eph_spec)
+    # norm_avg
+    denom = eph_pdf * eph_m
+    eph_w = jnp.where(denom == 0.0, 0.0, eph_w / jnp.where(denom == 0.0, 1.0, denom))
+
+    light_ok = eph_w > 0.0
+    light_pdf_l = jnp.where(
+        light_ok, (1.0 / jnp.where(light_ok, eph_w, 1.0)) * (1.0 - atmosphere_pdf), 1.0
+    )
+    light_rad_l = jnp.where(
+        light_ok[..., None], eph_rad * (1.0 + eph_spec), 0.0
+    )
+
+    # select branch (both consumed from the same base state; pick results)
+    light_id = jnp.where(pick_sky, -1, jnp.where(light_ok, eph_light, 0))
+    light_pdf = jnp.where(pick_sky, atmosphere_pdf, light_pdf_l)
+    light_rad = jnp.where(pick_sky[..., None], sky_rad, light_rad_l)
+    state = jnp.where(pick_sky, sky_state, eph_state)
+
+    # secondary miss -> the bounce ray points at the sky directly
+    miss = ~gi_surf.is_some
+    light_id = jnp.where(miss, -1, light_id)
+    light_pdf = jnp.where(miss, 1.0, light_pdf)
+    light_rad = jnp.where(miss[..., None], sample_sky(sun, gi_dir), light_rad)
+
+    # shadow ray at the secondary vertex
+    lg = gather_light(scene.lights, jnp.maximum(light_id, 0))
+    state, w_o, w_d, w_len = shadow_ray_wnoise(state, lg, gi_surf.point)
+    sky_o, sky_d = gi_surf.point, sky_dir
+    sr_o = jnp.where((light_id < 0)[..., None], sky_o, w_o)
+    sr_d = jnp.where((light_id < 0)[..., None], sky_d, w_d)
+    sr_len = jnp.where(light_id < 0, jnp.inf, w_len)
+    sr_len = jnp.where(miss | ~active | (light_pdf <= 0.0), 0.0, sr_len)
+    occluded = trace_anyhit(scene, sr_o, sr_d, sr_len)
+    vis = jnp.where(occluded, 0.0, 1.0)
+
+    rad = jnp.where(
+        (light_pdf > 0.0)[..., None],
+        light_rad * (vis / jnp.maximum(light_pdf, 1e-20))[..., None],
+        0.0,
+    )
+    rad = jnp.where(
+        gi_surf.is_some[..., None],
+        rad * gi_surf.base_color[..., :3] / jnp.pi + gi_surf.emissive,
+        rad,
+    )
+
+    # --- assemble the candidate reservoir -----------------------------
+    v1 = jnp.where(tracing, surf.point, rep.v1_point)
+    v2 = jnp.where(
+        gi_surf.is_some[..., None], gi_surf.point, v1 + gi_dir * SUN_DISTANCE
+    )
+    v2n = jnp.where(gi_surf.is_some[..., None], gi_surf.normal, -gi_dir)
+
+    valid = active & (gi_pdf > 0.0)
+    cand = GiReservoirs(
+        m=jnp.where(valid, 1.0, 0.0),
+        w=jnp.where(valid, 1.0 / jnp.maximum(gi_pdf, 1e-20), 0.0),
+        pdf=jnp.zeros(shape, jnp.float32),
+        confidence=jnp.zeros(shape, jnp.float32),
+        rng=rng0,
+        radiance=jnp.where(valid[..., None], rad, 0.0),
+        v1_point=jnp.where(valid[..., None], v1, 0.0),
+        v2_point=jnp.where(valid[..., None], v2, 0.0),
+        v2_normal=jnp.where(valid[..., None], v2n, 0.0),
+    )
+    cand = cand.replace(pdf=jnp.where(valid, sample_pdf(cand, surf), 0.0))
+    return cand
+
+
+def gi_temporal(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    prev_surf: Surface,
+    reproj: Reprojection,
+    cand: GiReservoirs,
+    rep: GiReservoirs,
+    seed,
+    frame,
+) -> GiReservoirs:
+    """gi_temporal_resampling.rs: MIS merge on tracing frames;
+    merge-only + sample validation on validation frames."""
+    shape = surf.depth.shape
+    grid = screen_grid(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    tracing = is_gi_tracing(frame)
+    frame = jnp.asarray(frame, jnp.int32)
+
+    got_sample = jnp.where(
+        tracing,
+        ((frame % 2) == 0) & got_checkerboard_at(grid, frame // 2),
+        got_checkerboard_at(grid, frame),
+    )
+    lhs = select(got_sample, cand, GiReservoirs.empty(shape))
+
+    rhs = select(reproj.is_some, rep, GiReservoirs.empty(shape))
+    rhs = rhs.replace(
+        confidence=jnp.ones(shape, jnp.float32),
+        m=jnp.minimum(rhs.m, GI_TEMPORAL_M_CLAMP),
+    )
+
+    # validation: compare replayed radiance against history
+    validate = (
+        ~tracing & ~lhs.is_empty & ~rhs.is_empty & rhs.exists & reproj.is_some
+    )
+    moved = vm.length(lhs.radiance - rhs.radiance) > GI_VALIDATION_THRESHOLD
+    rhs = rhs.replace(
+        confidence=jnp.where(validate & moved, 0.0, rhs.confidence),
+        radiance=jnp.where(validate[..., None], lhs.radiance, rhs.radiance),
+        v2_point=jnp.where(validate[..., None], lhs.v2_point, rhs.v2_point),
+        v2_normal=jnp.where(validate[..., None], lhs.v2_normal, rhs.v2_normal),
+    )
+
+    # prev-frame surface at the reprojected position, for cross-pdfs
+    rpos = reproj.prev_pos_round
+    rx = jnp.clip(rpos[..., 0], 0, camera.width - 1)
+    ry = jnp.clip(rpos[..., 1], 0, camera.height - 1)
+    rhs_surf = jax.tree.map(lambda a: a[ry, rx], prev_surf)
+
+    # --- tracing path: pairwise MIS -----------------------------------
+    lhs_rhs_pdf = jnp.where(
+        (lhs.m > 0.0) & rhs_surf.is_some, sample_pdf(lhs, rhs_surf), 0.0
+    )
+    rhs_lhs_pdf = jnp.where(rhs.m > 0.0, sample_pdf(rhs, surf), 0.0)
+    mis = mis_eval(
+        lhs_m=lhs.m,
+        rhs_m=rhs.m,
+        rhs_jacobian=jnp.ones(shape, jnp.float32),
+        lhs_lhs_pdf=lhs.pdf,
+        lhs_rhs_pdf=lhs_rhs_pdf,
+        rhs_lhs_pdf=rhs_lhs_pdf,
+        rhs_rhs_pdf=rhs.pdf,
+    )
+    mt = GiReservoirs.empty(shape)
+    mt_pdf = jnp.zeros(shape, jnp.float32)
+    state_t = state
+    state_t, mt, acc = update(state_t, mt, lhs, mis.lhs_mis * mis.lhs_pdf * lhs.w)
+    mt_pdf = jnp.where(acc, mis.lhs_pdf, mt_pdf)
+    state_t, mt, acc = update(state_t, mt, rhs, mis.rhs_mis * mis.rhs_pdf * rhs.w)
+    mt_pdf = jnp.where(acc, mis.rhs_pdf, mt_pdf)
+    mt = mt.replace(m=lhs.m + mis.m, confidence=jnp.ones(shape, jnp.float32))
+    mt = norm_mis(mt, mt_pdf)
+
+    # --- validation path: merge-only ----------------------------------
+    mv = GiReservoirs.empty(shape)
+    mv_pdf = jnp.zeros(shape, jnp.float32)
+    state_v = state
+    state_v, mv, acc = merge(state_v, mv, rhs, rhs.pdf)
+    mv_pdf = jnp.where(acc, rhs.pdf, mv_pdf)
+    mv = mv.replace(confidence=rhs.confidence)
+    mv = norm_avg(mv, mv_pdf)
+
+    main = select(tracing & jnp.ones(shape, bool), mt, mv)
+    main_pdf = jnp.where(tracing, mt_pdf, mv_pdf)
+    main = main.replace(pdf=main_pdf, v1_point=surf.point)
+    main = clamp_w(main)
+    return select(surf.is_some, main, GiReservoirs.empty(shape))
+
+
+def gi_spatial(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    res: GiReservoirs,
+    seed,
+    frame,
+) -> GiReservoirs:
+    """gi_spatial_resampling.rs: like DI spatial plus the reconnection
+    Jacobian (reject outside [1/10, 10], clamp to [1/3, 3]) applied to
+    both the MIS and the merge weight. Checkerboarded."""
+    from .di import checkerboard_active
+
+    shape = surf.depth.shape
+    grid = screen_grid(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    active = checkerboard_active(camera, frame)
+
+    lhs = res
+
+    done = jnp.zeros(shape, bool)
+    rhs_x = jnp.zeros(shape, jnp.int32)
+    rhs_y = jnp.zeros(shape, jnp.int32)
+    rhs_jac = jnp.zeros(shape, jnp.float32)
+    radius = jnp.full(shape, GI_SPATIAL_RADIUS, jnp.float32)
+
+    for _ in range(GI_SPATIAL_SAMPLES):
+        state, disk = rng.sample_disk(state)
+        cpos = contain(
+            camera,
+            (grid.astype(jnp.float32) + disk * radius[..., None]).astype(jnp.int32),
+        )
+        cx, cy = cpos[..., 0], cpos[..., 1]
+        same = (cx == grid[..., 0]) & (cy == grid[..., 1])
+        c_sky = ~surf.is_some[cy, cx]
+        c_depth = surf.depth[cy, cx]
+        c_normal = surf.normal[cy, cx]
+        depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
+        normal_bad = vm.dot(c_normal, surf.normal) < 0.33
+        gate_fail = c_sky | depth_bad | normal_bad
+        shrink = ~done & ~same & gate_fail
+        radius = jnp.where(shrink, jnp.maximum(radius * 0.5, 5.0), radius)
+
+        cand = res.gather(cy, cx)
+        jac = sample_jacobian(cand, surf.point)
+        jac_ok = (jac >= 1.0 / GI_JACOBIAN_REJECT) & (jac <= GI_JACOBIAN_REJECT)
+        accept = ~done & ~same & ~gate_fail & (cand.m > 0.0) & jac_ok
+        rhs_x = jnp.where(accept, cx, rhs_x)
+        rhs_y = jnp.where(accept, cy, rhs_y)
+        rhs_jac = jnp.where(
+            accept, jnp.clip(jac, 1.0 / GI_JACOBIAN_CLAMP, GI_JACOBIAN_CLAMP), rhs_jac
+        )
+        done = done | accept
+
+    found = done & active & surf.is_some & ~lhs.is_empty
+    rhs = res.gather(rhs_y, rhs_x)
+    rhs = select(found, rhs, GiReservoirs.empty(shape))
+    rhs_surf = jax.tree.map(lambda a: a[rhs_y, rhs_x], surf)
+
+    lhs_rhs_pdf = jnp.where(found, sample_pdf(lhs, rhs_surf), 0.0)
+    rhs_lhs_pdf = jnp.where(found, sample_pdf(rhs, surf), 0.0)
+
+    # cross-visibility reconnection rays
+    a_o, a_d, a_len = sample_ray(lhs, rhs_surf.point)
+    b_o, b_d, b_len = sample_ray(rhs, surf.point)
+    a_len = jnp.where(found & (lhs_rhs_pdf > 0.0), a_len, 0.0)
+    b_len = jnp.where(found & (rhs_lhs_pdf > 0.0), b_len, 0.0)
+    lhs_rhs_vis = jnp.where(trace_anyhit(scene, a_o, a_d, a_len), 0.0, 1.0)
+    rhs_lhs_vis = jnp.where(trace_anyhit(scene, b_o, b_d, b_len), 0.0, 1.0)
+
+    mis = mis_eval(
+        lhs_m=lhs.m,
+        rhs_m=rhs.m,
+        rhs_jacobian=rhs_jac,
+        lhs_lhs_pdf=lhs.pdf,
+        lhs_rhs_pdf=lhs_rhs_pdf * lhs_rhs_vis,
+        rhs_lhs_pdf=rhs_lhs_pdf * rhs_lhs_vis,
+        rhs_rhs_pdf=rhs.pdf,
+    )
+
+    main = GiReservoirs.empty(shape)
+    main_pdf = jnp.zeros(shape, jnp.float32)
+    state, main, acc = update(state, main, lhs, mis.lhs_mis * mis.lhs_pdf * lhs.w)
+    main_pdf = jnp.where(acc, mis.lhs_pdf, main_pdf)
+    state, main, acc = update(
+        state, main, rhs, mis.rhs_mis * mis.rhs_pdf * rhs.w * rhs_jac
+    )
+    main_pdf = jnp.where(acc, mis.rhs_pdf, main_pdf)
+    main = main.replace(
+        m=lhs.m + mis.m,
+        confidence=jnp.ones(shape, jnp.float32),
+        pdf=main_pdf,
+        v1_point=lhs.v1_point,
+    )
+    main = norm_mis(main, main_pdf)
+    main = clamp_w(main)
+
+    return select(found, main, lhs)
+
+
+def gi_preview(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    center: GiReservoirs,
+    neighbors: GiReservoirs,
+    seed,
+    max_radius: float,
+) -> GiReservoirs:
+    """gi_preview_resampling.rs: merge-only spatial pass (no visibility
+    rays) with up to ``8 - m`` disk samples, depth gate 25%, normal gate
+    0.5, Jacobian-weighted merges, norm_avg."""
+    shape = surf.depth.shape
+    grid = screen_grid(camera)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+
+    main = GiReservoirs.empty(shape)
+    main_pdf = jnp.zeros(shape, jnp.float32)
+    state, main, acc = merge(state, main, center, center.pdf)
+    main_pdf = jnp.where(acc, center.pdf, main_pdf)
+
+    # max_samples = lerp(8, 0, m/8) floored (gi_preview_resampling.rs:61-70)
+    max_samples = jnp.floor(
+        8.0 * (1.0 - jnp.clip(main.m / 8.0, 0.0, 1.0))
+    ).astype(jnp.int32)
+
+    stopped = jnp.zeros(shape, bool)
+    for nth in range(8):
+        state, disk = rng.sample_disk(state)
+        cpos = contain(
+            camera,
+            (grid.astype(jnp.float32) + disk * max_radius).astype(jnp.int32),
+        )
+        cx, cy = cpos[..., 0], cpos[..., 1]
+        same = (cx == grid[..., 0]) & (cy == grid[..., 1])
+        stopped = stopped | same  # reference bails out entirely here
+        in_budget = nth < max_samples
+        c_sky = ~surf.is_some[cy, cx]
+        c_depth = surf.depth[cy, cx]
+        c_normal = surf.normal[cy, cx]
+        depth_bad = jnp.abs(c_depth - surf.depth) > 0.25 * surf.depth
+        normal_bad = vm.dot(c_normal, surf.normal) < 0.5
+
+        cand = neighbors.gather(cy, cx)
+        cpdf = sample_pdf(cand, surf)
+        jac = sample_jacobian(cand, surf.point)
+        jac_ok = (jac >= 1.0 / GI_JACOBIAN_REJECT) & (jac <= GI_JACOBIAN_REJECT)
+        jac = jnp.clip(jac, 1.0 / GI_JACOBIAN_CLAMP, GI_JACOBIAN_CLAMP)
+
+        ok = (
+            in_budget
+            & ~stopped
+            & ~c_sky
+            & ~depth_bad
+            & ~normal_bad
+            & ~cand.is_empty
+            & jac_ok
+        )
+        state, main, acc = merge(state, main, cand, cpdf * jac, ok)
+        main_pdf = jnp.where(acc, cpdf, main_pdf)
+
+    main = main.replace(
+        confidence=center.confidence,
+        pdf=main_pdf,
+        v1_point=center.v1_point,
+    )
+    main = norm_avg(main, main_pdf)
+    main = clamp_w(main)
+    return select(surf.is_some, main, GiReservoirs.empty(shape))
+
+
+def gi_resolve(surf: Surface, res: GiReservoirs):
+    """gi_resolving.rs: radiance = w * cosine * sample.radiance,
+    demodulated into diffuse/spec with confidence alpha."""
+    shape = surf.depth.shape
+    cosine = sample_cosine(res, surf)
+    rad = res.w[..., None] * cosine[..., None] * res.radiance
+    rad = jnp.where(surf.is_some[..., None], rad, 0.0)
+    confidence = jnp.where(surf.is_some, res.confidence, 1.0)
+
+    diff_brdf = (1.0 - surf.metallic) / jnp.pi
+    d = sample_dir(res, surf.point)
+    spec_brdf = brdf.specular_eval(
+        surf.base_color, surf.metallic, surf.roughness, surf.reflectance,
+        surf.normal, d, -surf.dir,
+    )
+    diff = rad * diff_brdf[..., None]
+    spec = rad * spec_brdf
+    diff_out = jnp.concatenate([diff, confidence[..., None]], axis=-1)
+    spec_out = jnp.concatenate([spec, confidence[..., None]], axis=-1)
+    return diff_out, spec_out
+
+
+def gi_pipeline(
+    scene: Scene,
+    camera: Camera,
+    surf: Surface,
+    prev_surf: Surface,
+    reproj: Reprojection,
+    gi_prev: GiReservoirs,
+    seed,
+    frame,
+    bnoise_second,
+):
+    """Full per-frame GI schedule (camera_controller.rs:129-167)."""
+    from ..models.restir import derive_seed
+
+    tracing = is_gi_tracing(frame)
+    frame_i = jnp.asarray(frame, jnp.int32)
+
+    rep = gi_reproject(camera, surf, reproj, gi_prev)
+
+    # sampling runs on even tracing frames and on all validation frames;
+    # we compute it unconditionally (lanes gate themselves via coverage)
+    # except the even/odd tracing skip, handled by zeroing the candidate.
+    cand = gi_sampling(
+        scene, camera, surf, rep, derive_seed(seed, 10), derive_seed(seed, 11), frame
+    )
+    skip_sampling = tracing & ((frame_i % 2) == 1)
+    cand = select(
+        ~skip_sampling & jnp.ones(cand.m.shape, bool),
+        cand,
+        GiReservoirs.empty(cand.m.shape),
+    )
+
+    t = gi_temporal(
+        scene, camera, surf, prev_surf, reproj, cand, rep,
+        derive_seed(seed, 12), frame,
+    )
+
+    # odd tracing frames run the spatial pass; source = spatial|temporal
+    s = gi_spatial(scene, camera, surf, t, derive_seed(seed, 13), frame)
+    use_spatial = tracing & ((frame_i % 2) == 1)
+    source = select(use_spatial & jnp.ones(t.m.shape, bool), s, t)
+
+    p1 = gi_preview(
+        scene, camera, surf, source, source, derive_seed(seed, 14), 128.0
+    )
+    p2 = gi_preview(
+        scene, camera, surf, p1, p1, derive_seed(seed, 15), 64.0
+    )
+
+    diff, spec = gi_resolve(surf, p2)
+    return diff, spec, source
