@@ -19,9 +19,8 @@ import jax.numpy as jnp
 
 from ..camera import Camera, screen_grid
 from ..ops import brdf, rng
-from ..ops.hit import surface_at
 from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
-from ..ops.trace import trace_anyhit, trace_closest
+from ..ops.trace import trace_anyhit, trace_surface
 from ..scene.types import Scene
 from ..sky.atmosphere import sample_sky, sun_direction
 from ..utils.pytree import pytree_dataclass
@@ -52,10 +51,14 @@ def sample_pixels(
     seed: jnp.ndarray,
     depth: int = 5,
     include_sky: bool = True,
+    use_pallas: bool | None = None,
 ):
     """One path-traced sample for each pixel in ``grid``; returns
     radiance [..., 3]. Takes explicit pixel coords so callers can shard
     the pixel axis across a device mesh (parallel/sharding.py).
+
+    ``use_pallas=False`` forces the differentiable jnp trace path
+    (gradients do not flow through the Pallas kernels).
 
     Follows ref_shading.rs bounce logic: emissive + single-light NEE +
     layered-BRDF continuation, with material regularization for
@@ -76,8 +79,9 @@ def sample_pixels(
     has_lights = lcount > 0
 
     for bounce in range(depth + 1):
-        hit = trace_closest(scene, o, d)
-        surf = surface_at(scene, o, d, hit, regularize=bounce > 0)
+        surf = trace_surface(
+            scene, o, d, regularize=bounce > 0, use_pallas=use_pallas
+        )
 
         # sky on miss (ref_shading.rs:95-103)
         missed = alive & ~surf.is_some
@@ -132,10 +136,11 @@ def trace_sample(
     seed: jnp.ndarray,
     depth: int = 5,
     include_sky: bool = True,
+    use_pallas: bool | None = None,
 ):
     """One path-traced sample per pixel over the full screen [H, W, 3]."""
     return sample_pixels(
-        scene, camera, screen_grid(camera), seed, depth, include_sky
+        scene, camera, screen_grid(camera), seed, depth, include_sky, use_pallas
     )
 
 

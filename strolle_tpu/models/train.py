@@ -66,11 +66,17 @@ def render_loss(
     if mesh is None:
         from .reference import trace_sample
 
-        img = trace_sample(s, camera, jnp.asarray(seed, jnp.uint32), depth, False)
+        # use_pallas=False: gradients flow through the jnp trace path
+        img = trace_sample(
+            s, camera, jnp.asarray(seed, jnp.uint32), depth, False,
+            use_pallas=False,
+        )
     else:
         from ..parallel.sharding import render_sample_sharded
 
-        img = render_sample_sharded(mesh, s, camera, seed, depth, False)
+        img = render_sample_sharded(
+            mesh, s, camera, seed, depth, False, use_pallas=False
+        )
     diff = img - target
     return jnp.mean(diff * diff)
 

@@ -31,17 +31,44 @@ class LightGather(NamedTuple):
     spot_angle: jnp.ndarray  # f32[...]
 
 
-def gather_light(lights: Lights, light_id: jnp.ndarray, prev: bool = False) -> LightGather:
-    i = jnp.clip(light_id, 0, lights.capacity - 1)
+#: Finite stand-in for "unlimited range": inf cannot ride through the
+#: one-hot matmul (unselected rows would contribute 0 * inf = NaN).
+RANGE_UNLIMITED = 1e30
+
+
+def _light_table(lights: Lights, prev: bool) -> jnp.ndarray:
+    """[L, 13] packed rows so one one-hot matmul fetches a full light
+    (per-field gathers hit the TPU slow path — see ops/gather.py)."""
     if prev:
-        return LightGather(
-            lights.prev_pos[i], lights.prev_radius[i], lights.prev_color[i],
-            lights.prev_range[i], lights.prev_kind[i], lights.prev_spot_dir[i],
-            lights.prev_spot_angle[i],
-        )
+        cols = [
+            lights.prev_pos, lights.prev_radius[:, None], lights.prev_color,
+            lights.prev_range[:, None],
+            lights.prev_kind.astype(jnp.float32)[:, None],
+            lights.prev_spot_dir, lights.prev_spot_angle[:, None],
+        ]
+    else:
+        cols = [
+            lights.pos, lights.radius[:, None], lights.color,
+            lights.range[:, None], lights.kind.astype(jnp.float32)[:, None],
+            lights.spot_dir, lights.spot_angle[:, None],
+        ]
+    table = jnp.concatenate(cols, axis=-1)
+    return jnp.minimum(table, RANGE_UNLIMITED)
+
+
+def gather_light(lights: Lights, light_id: jnp.ndarray, prev: bool = False) -> LightGather:
+    from .gather import gather_rows
+
+    i = jnp.clip(light_id, 0, lights.capacity - 1)
+    rows = gather_rows(_light_table(lights, prev), i)
     return LightGather(
-        lights.pos[i], lights.radius[i], lights.color[i], lights.range[i],
-        lights.kind[i], lights.spot_dir[i], lights.spot_angle[i],
+        pos=rows[..., 0:3],
+        radius=rows[..., 3],
+        color=rows[..., 4:7],
+        range=rows[..., 7],
+        kind=rows[..., 8].astype(jnp.int32),
+        spot_dir=rows[..., 9:12],
+        spot_angle=rows[..., 12],
     )
 
 
@@ -74,7 +101,8 @@ def radiance(light: LightGather, surf) -> LightRadiance:
     factor = l2 * inv_r2
     smooth = vm.saturate(1.0 - factor * factor)
     attenuation = smooth * smooth / jnp.maximum(l2, 1e-4)
-    f_dist = jnp.where(jnp.isinf(light.range), 1.0, attenuation)
+    unlimited = jnp.isinf(light.range) | (light.range >= RANGE_UNLIMITED)
+    f_dist = jnp.where(unlimited, 1.0, attenuation)
 
     f_cos = vm.saturate(vm.dot(surf.normal, vm.normalize(l_vec)))
 

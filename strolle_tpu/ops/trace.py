@@ -115,12 +115,147 @@ def trace_anyhit_brute(
     return occluded
 
 
+def _pallas_available() -> bool:
+    """Pallas TPU kernels only lower on the TPU backend."""
+    return jax.default_backend() == "tpu"
+
+
+def _packed_tri_rows(scene: Scene):
+    from .pallas.trace_kernels import pack_triangles
+
+    rows = pack_triangles(scene.geometry.positions)
+    pad = (-rows.shape[0]) % 8
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 12), rows.dtype)])
+    return rows
+
+
+def _trace_closest_pallas(scene: Scene, o, d) -> TriangleHit:
+    """Pallas kernel + differentiable recompute: the kernel (no VJP)
+    finds the winning triangle under stop_gradient; t/u/v are then
+    re-evaluated through the selected triangle with plain jnp so
+    gradients w.r.t. ray origins/directions/vertices flow."""
+    from .pallas.trace_kernels import trace_closest_brute_pallas
+
+    rows = jax.lax.stop_gradient(_packed_tri_rows(scene))
+    t, tri, u, v = trace_closest_brute_pallas(
+        rows, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    )
+    verts = scene.geometry.positions[jnp.maximum(tri, 0)]
+    t2, u2, v2, _ = ray_triangle(
+        o, d, verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+    )
+    valid = tri >= 0
+    return TriangleHit(
+        t=jnp.where(valid, t2, jnp.inf),
+        tri=tri,
+        u=jnp.where(valid, u2, 0.0),
+        v=jnp.where(valid, v2, 0.0),
+    )
+
+
+def _trace_anyhit_pallas(scene: Scene, o, d, t_max):
+    from .pallas.trace_kernels import trace_anyhit_brute_pallas
+
+    rows = jax.lax.stop_gradient(_packed_tri_rows(scene))
+    return trace_anyhit_brute_pallas(
+        rows,
+        jax.lax.stop_gradient(o),
+        jax.lax.stop_gradient(d),
+        jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+    )
+
+
+def _material_table(scene: Scene) -> jnp.ndarray:
+    """[M, 12] rows: base_color(4) emissive(3) metallic roughness
+    reflectance pad(2) — one one-hot matmul fetches a full material."""
+    m = scene.materials
+    return jnp.concatenate(
+        [
+            m.base_color,
+            m.emissive[..., :3],
+            m.metallic[:, None],
+            m.roughness[:, None],
+            m.reflectance[:, None],
+            jnp.zeros((m.num_materials, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def trace_surface(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    regularize: bool = False,
+    use_pallas: bool | None = None,
+):
+    """Closest hit + shading attributes as a Surface pytree.
+
+    On TPU this runs the fused Pallas surface kernel (attributes
+    resolved in-register, materials via one-hot matmul) — the
+    XLA-gather-free hot path. Elsewhere (or for the differentiable
+    path, use_pallas=False) it falls back to trace_closest +
+    surface_at.
+    """
+    from .hit import NUDGE_OFFSET, Surface, surface_at
+    from .gather import gather_rows
+
+    if use_pallas is None:
+        use_pallas = _pallas_available()
+    big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
+    textured = scene.atlas is not None
+    if not use_pallas or not _pallas_available() or big or textured:
+        hit = trace_closest(scene, o, d)
+        return surface_at(scene, o, d, hit, regularize=regularize)
+
+    from .pallas.trace_kernels import pack_geometry, trace_surface_pallas
+
+    rows = pack_geometry(scene.geometry)
+    pad = (-rows.shape[0]) % 8
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
+    out = trace_surface_pallas(rows, o, d)
+
+    some = out["tri"] >= 0
+    t = jnp.where(some, out["t"], 0.0)
+    normal = out["normal"]
+    mat_id = jnp.where(some, out["mat_id"], 0)
+
+    mrows = gather_rows(_material_table(scene), mat_id)
+    roughness = mrows[..., 8]
+    if regularize:
+        roughness = jnp.maximum(roughness, 0.75 * 0.75)
+
+    point = o + d * t[..., None] + normal * NUDGE_OFFSET
+
+    def z(x):
+        return jnp.where(some[..., None] if x.ndim > some.ndim else some, x, 0.0)
+
+    return Surface(
+        point=z(point),
+        dir=d,
+        normal=z(normal),
+        uv=z(out["uv"]),
+        material_id=mat_id,
+        base_color=z(mrows[..., 0:4]),
+        emissive=z(mrows[..., 4:7]),
+        metallic=z(mrows[..., 7]),
+        roughness=z(roughness),
+        reflectance=z(mrows[..., 9]),
+        depth=t,
+        is_some=some,
+    )
+
+
 def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
     """Strategy dispatcher for closest-hit."""
     if scene.bvh is not None and scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS:
         from ..bvh.traverse import trace_closest_bvh
 
         return trace_closest_bvh(scene, o, d)
+    if _pallas_available():
+        return _trace_closest_pallas(scene, o, d)
     return trace_closest_brute(scene, o, d)
 
 
@@ -132,4 +267,6 @@ def trace_anyhit(
         from ..bvh.traverse import trace_anyhit_bvh
 
         return trace_anyhit_bvh(scene, o, d, t_max)
+    if _pallas_available():
+        return _trace_anyhit_pallas(scene, o, d, t_max)
     return trace_anyhit_brute(scene, o, d, t_max)

@@ -39,8 +39,10 @@ def pad_rows(h: int, n: int) -> int:
     return -(-h // n) * n
 
 
-@partial(jax.jit, static_argnames=("mesh", "depth", "include_sky"))
-def _render_sharded_jit(mesh, scene, camera, grid, seed, depth, include_sky):
+@partial(jax.jit, static_argnames=("mesh", "depth", "include_sky", "use_pallas"))
+def _render_sharded_jit(
+    mesh, scene, camera, grid, seed, depth, include_sky, use_pallas
+):
     from ..models.reference import sample_pixels
 
     @partial(
@@ -51,7 +53,8 @@ def _render_sharded_jit(mesh, scene, camera, grid, seed, depth, include_sky):
     )
     def shard_fn(scene_rep, camera_rep, grid_shard, seed_rep):
         return sample_pixels(
-            scene_rep, camera_rep, grid_shard, seed_rep, depth, include_sky
+            scene_rep, camera_rep, grid_shard, seed_rep, depth, include_sky,
+            use_pallas,
         )
 
     return shard_fn(scene, camera, grid, seed)
@@ -64,6 +67,7 @@ def render_sample_sharded(
     seed,
     depth: int = 5,
     include_sky: bool = False,
+    use_pallas: bool | None = None,
 ):
     """One path-traced sample with rows sharded over the mesh.
 
@@ -78,5 +82,7 @@ def render_sample_sharded(
         grid = jnp.concatenate([grid, grid[h - (hp - h):][::-1]], axis=0)
 
     seed = jnp.asarray(seed, jnp.uint32)
-    img = _render_sharded_jit(mesh, scene, camera, grid, seed, depth, include_sky)
+    img = _render_sharded_jit(
+        mesh, scene, camera, grid, seed, depth, include_sky, use_pallas
+    )
     return img[:h]

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 
 from ..camera import Camera, contain, screen_grid
 from ..ops import brdf, math as vm, rng
-from ..ops.hit import Surface, surface_at
+from ..ops.hit import Surface
 from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
-from ..ops.trace import trace_anyhit, trace_closest
+from ..ops.trace import trace_anyhit, trace_surface
 from ..scene.types import Scene
 from ..sky.atmosphere import SUN_DISTANCE, sample_sky, sun_direction
 from ..utils.pytree import pytree_dataclass
@@ -290,8 +290,7 @@ def gi_sampling(
     # empty reservoirs when validating
     active = covered & jnp.where(tracing, surf.is_some, ~rep.is_empty)
 
-    hit = trace_closest(scene, gi_origin, gi_dir)
-    gi_surf = surface_at(scene, gi_origin, gi_dir, hit, regularize=True)
+    gi_surf = trace_surface(scene, gi_origin, gi_dir, regularize=True)
 
     # --- part B: shade the secondary vertex ---------------------------
     state_fresh = rng.wnoise_new(seed_b, grid[..., 0], grid[..., 1])

@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from ..camera import Camera, screen_grid, pixel_rays, world_to_screen
 from ..ops import math as vm
-from ..ops.hit import Surface, surface_at
-from ..ops.trace import trace_closest
+from ..ops.hit import Surface
+from ..ops.trace import trace_surface
 from ..scene.types import Scene
 from ..utils.pytree import pytree_dataclass
 
@@ -55,8 +55,7 @@ def primary_pass(scene: Scene, camera: Camera, prev_camera: Camera):
     """
     grid = screen_grid(camera)
     o, d = pixel_rays(camera, grid)
-    hit = trace_closest(scene, o, d)
-    surf = surface_at(scene, o, d, hit)
+    surf = trace_surface(scene, o, d)
 
     curr_screen = world_to_screen(camera, surf.point)
     prev_screen = world_to_screen(prev_camera, surf.point)

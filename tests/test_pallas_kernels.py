@@ -1,0 +1,72 @@
+"""Pallas kernels validated in interpreter mode against the jnp path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from strolle_tpu.ops.hit import surface_at
+from strolle_tpu.ops.pallas.trace_kernels import (
+    pack_geometry,
+    pack_triangles,
+    trace_anyhit_brute_pallas,
+    trace_closest_brute_pallas,
+    trace_surface_pallas,
+)
+from strolle_tpu.ops.trace import trace_anyhit_brute, trace_closest_brute
+from strolle_tpu.scene.cornell import cornell_box
+
+
+def _rays(n, seed=0):
+    rs = np.random.RandomState(seed)
+    o = jnp.asarray(rs.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def _padded(rows, k):
+    pad = (-rows.shape[0]) % 8
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, k), rows.dtype)])
+    return rows
+
+
+def test_closest_kernel_matches_jnp():
+    scene = cornell_box()
+    rows = _padded(pack_triangles(scene.geometry.positions), 12)
+    o, d = _rays(1200)
+    ref = trace_closest_brute(scene, o, d)
+    t, tri, u, v = trace_closest_brute_pallas(rows, o, d, interpret=True)
+    tt = np.where(np.isfinite(np.asarray(t)), np.asarray(t), 1e30)
+    rt = np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), 1e30)
+    assert np.allclose(tt, rt, atol=1e-4)
+    assert (np.asarray(tri) == np.asarray(ref.tri)).all()
+
+
+def test_anyhit_kernel_matches_jnp():
+    scene = cornell_box()
+    rows = _padded(pack_triangles(scene.geometry.positions), 12)
+    o, d = _rays(1200, seed=2)
+    t_max = jnp.full((1200,), 1.3, jnp.float32)
+    ref = trace_anyhit_brute(scene, o, d, t_max)
+    occ = trace_anyhit_brute_pallas(rows, o, d, t_max, interpret=True)
+    assert (np.asarray(occ) == np.asarray(ref)).all()
+
+
+def test_surface_kernel_matches_surface_at():
+    scene = cornell_box()
+    rows = _padded(pack_geometry(scene.geometry), 28)
+    o, d = _rays(1200, seed=3)
+    out = trace_surface_pallas(rows, o, d, interpret=True)
+    hit = trace_closest_brute(scene, o, d)
+    surf = surface_at(scene, o, d, hit)
+    some = np.asarray(hit.is_some)
+    assert (np.asarray(out["tri"]) == np.asarray(hit.tri)).all()
+    assert np.allclose(
+        np.asarray(out["normal"])[some], np.asarray(surf.normal)[some], atol=1e-4
+    )
+    assert np.allclose(
+        np.asarray(out["uv"])[some], np.asarray(surf.uv)[some], atol=1e-4
+    )
+    assert (
+        np.asarray(out["mat_id"])[some] == np.asarray(surf.material_id)[some]
+    ).all()
