@@ -52,6 +52,7 @@ def sample_pixels(
     depth: int = 5,
     include_sky: bool = True,
     use_pallas: bool | None = None,
+    luts=None,
 ):
     """One path-traced sample for each pixel in ``grid``; returns
     radiance [..., 3]. Takes explicit pixel coords so callers can shard
@@ -86,7 +87,12 @@ def sample_pixels(
         # sky on miss (ref_shading.rs:95-103)
         missed = alive & ~surf.is_some
         if include_sky:
-            sky = sample_sky(sun, d)
+            if luts is not None:
+                from ..sky.atmosphere import sample_atmosphere
+
+                sky = sample_atmosphere(luts, jnp.broadcast_to(sun, d.shape), d)
+            else:
+                sky = sample_sky(sun, d)
             color = jnp.where(missed[..., None], color + throughput * sky, color)
         alive = alive & surf.is_some
 
@@ -137,10 +143,12 @@ def trace_sample(
     depth: int = 5,
     include_sky: bool = True,
     use_pallas: bool | None = None,
+    luts=None,
 ):
     """One path-traced sample per pixel over the full screen [H, W, 3]."""
     return sample_pixels(
-        scene, camera, screen_grid(camera), seed, depth, include_sky, use_pallas
+        scene, camera, screen_grid(camera), seed, depth, include_sky,
+        use_pallas, luts,
     )
 
 
@@ -152,9 +160,10 @@ def render_reference(
     seed: jnp.ndarray,
     depth: int = 5,
     include_sky: bool = True,
+    luts=None,
 ):
     """Accumulating reference render. Returns (image [H,W,3], accum')."""
-    sample = trace_sample(scene, camera, seed, depth, include_sky)
+    sample = trace_sample(scene, camera, seed, depth, include_sky, luts=luts)
     keep = jnp.all(
         jnp.abs(accum.projection_view - camera.projection_view) <= 0.0025
     )

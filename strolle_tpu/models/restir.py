@@ -116,8 +116,12 @@ def render_frame(
     state: RenderState,
     seed,
     config: RenderConfig = RenderConfig(),
+    luts=None,
 ):
-    """Renders one frame; returns (channels dict, new state)."""
+    """Renders one frame; returns (channels dict, new state).
+
+    ``luts``: optional AtmosphereLuts (sky/atmosphere.luts_for) — used
+    for miss-pixel radiance and GI sky sampling when include_sky."""
     h, w = camera.height, camera.width
     frame = state.frame
     grid = screen_grid(camera)
@@ -130,7 +134,14 @@ def render_frame(
         from ..camera import pixel_rays
 
         _, prim_d = pixel_rays(camera, grid)
-        sky = sample_sky(sun, prim_d)
+        if luts is not None:
+            from ..sky.atmosphere import sample_atmosphere
+
+            sky = sample_atmosphere(
+                luts, jnp.broadcast_to(sun, prim_d.shape), prim_d
+            )
+        else:
+            sky = sample_sky(sun, prim_d)
     else:
         sky = jnp.zeros((h, w, 3), jnp.float32)
 
@@ -174,6 +185,7 @@ def render_frame(
             seed,
             frame,
             bn_second,
+            luts if config.include_sky else None,
         )
 
     # --- denoising (SVGF on the diffuse channels; spec is not denoised,

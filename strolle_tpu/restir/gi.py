@@ -253,6 +253,14 @@ def gi_reproject(
     return select(surf.is_some, rep, GiReservoirs.empty(shape))
 
 
+def _sky(luts, sun, d):
+    if luts is not None:
+        from ..sky.atmosphere import sample_atmosphere
+
+        return sample_atmosphere(luts, jnp.broadcast_to(sun, d.shape), d)
+    return sample_sky(sun, d)
+
+
 def gi_sampling(
     scene: Scene,
     camera: Camera,
@@ -261,6 +269,7 @@ def gi_sampling(
     seed_a,
     seed_b,
     frame,
+    luts=None,
 ) -> GiReservoirs:
     """gi_sampling_a + gi_sampling_b fused: trace the bounce ray (fresh
     BRDF sample on tracing frames; replayed reservoir ray on validation
@@ -306,7 +315,7 @@ def gi_sampling(
 
     # sky branch: hemisphere sample around the secondary normal
     sky_state, sky_dir = rng.sample_hemisphere(state, gi_surf.normal)
-    sky_rad = sample_sky(sun, sky_dir) * vm.dotk(gi_surf.normal, sky_dir)
+    sky_rad = _sky(luts, sun, sky_dir) * vm.dotk(gi_surf.normal, sky_dir)
 
     # light branch: ephemeral RIS over the lights at the secondary hit
     from .di import DI_CANDIDATES
@@ -359,7 +368,7 @@ def gi_sampling(
     miss = ~gi_surf.is_some
     light_id = jnp.where(miss, -1, light_id)
     light_pdf = jnp.where(miss, 1.0, light_pdf)
-    light_rad = jnp.where(miss[..., None], sample_sky(sun, gi_dir), light_rad)
+    light_rad = jnp.where(miss[..., None], _sky(luts, sun, gi_dir), light_rad)
 
     # shadow ray at the secondary vertex
     lg = gather_light(scene.lights, jnp.maximum(light_id, 0))
@@ -699,6 +708,7 @@ def gi_pipeline(
     seed,
     frame,
     bnoise_second,
+    luts=None,
 ):
     """Full per-frame GI schedule (camera_controller.rs:129-167)."""
     from ..models.restir import derive_seed
@@ -712,7 +722,8 @@ def gi_pipeline(
     # we compute it unconditionally (lanes gate themselves via coverage)
     # except the even/odd tracing skip, handled by zeroing the candidate.
     cand = gi_sampling(
-        scene, camera, surf, rep, derive_seed(seed, 10), derive_seed(seed, 11), frame
+        scene, camera, surf, rep, derive_seed(seed, 10), derive_seed(seed, 11),
+        frame, luts,
     )
     skip_sampling = tracing & ((frame_i % 2) == 1)
     cand = select(

@@ -1,0 +1,331 @@
+"""Host-side dynamic scene management — the Engine facade.
+
+Mirrors Engine<P>'s public API and per-frame tick semantics
+(strolle/src/lib.rs:132-395): insert/remove meshes-as-instances,
+materials, and lights; the sun as the reserved light slot 0 whose color
+is the transmittance LUT evaluated host-side (lights.rs:84-99); the
+light slot kill/remap protocol that keeps in-flight reservoirs valid
+across removals (lights.rs:101-162); and BVH rebuild on geometry
+changes. `tick()` returns the Scene pytree for the next frame.
+
+Triangle capacity grows in buckets so jitted pipelines do not recompile
+on every small edit (the analogue of MappedStorageBuffer's grow-only
+realloc, buffers/mapped_storage_buffer.rs:28-160).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Hashable
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..sky.atmosphere import EXPOSURE, SUN_DISTANCE, luts_for, sun_direction
+from .types import (
+    LIGHT_NONE,
+    LIGHT_POINT,
+    Atlas,
+    Geometry,
+    Lights,
+    Scene,
+    make_materials,
+)
+
+_SUN_HANDLE = "__sun__"
+
+
+@dataclass
+class _LightRec:
+    pos: np.ndarray
+    radius: float
+    color: np.ndarray
+    range: float
+    kind: int
+    spot_dir: np.ndarray
+    spot_angle: float
+    prev: dict = field(default_factory=dict)
+
+
+@dataclass
+class _InstanceRec:
+    positions: np.ndarray  # [T, 3, 3] world space
+    normals: np.ndarray
+    uvs: np.ndarray
+    material_id: int
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class SceneEditor:
+    def __init__(
+        self,
+        materials: list[dict] | None = None,
+        light_capacity: int = 16,
+        sun_azimuth: float = 0.0,
+        sun_altitude: float = -1.0,
+        atlas: np.ndarray | None = None,
+    ):
+        self._materials = materials or [{}]
+        self._atlas = atlas
+        self._light_capacity = light_capacity
+        self.sun_azimuth = sun_azimuth
+        self.sun_altitude = sun_altitude
+
+        self._instances: dict[Hashable, _InstanceRec] = {}
+        self._geometry_dirty = True
+        self._bvh = None
+        self._geometry: Geometry | None = None
+
+        # light slots: slot 0 reserved for the sun (lights.rs:29-52)
+        self._light_slots: list[tuple[Hashable, _LightRec]] = [
+            (_SUN_HANDLE, self._make_sun())
+        ]
+        self._light_index: dict[Hashable, int] = {_SUN_HANDLE: 0}
+        self._killed: set[int] = set()
+        self._remapped: dict[Hashable, int] = {}  # handle -> OLD slot id
+        self.frame = 0
+
+    # -- lights ---------------------------------------------------------
+
+    def _make_sun(self) -> _LightRec:
+        sun_dir = np.asarray(
+            sun_direction(
+                jnp.float32(self.sun_azimuth), jnp.float32(self.sun_altitude)
+            )
+        )
+        if self.sun_altitude > -0.3:
+            luts = luts_for(self.sun_altitude)
+            from ..sky.atmosphere import sun_color
+
+            color = np.asarray(sun_color(luts, jnp.asarray(sun_dir)[None]))[0]
+        else:
+            color = np.zeros(3, np.float32)
+        return _LightRec(
+            pos=(sun_dir * SUN_DISTANCE).astype(np.float32),
+            radius=25.0,
+            color=color.astype(np.float32),
+            range=np.inf,
+            kind=LIGHT_POINT,
+            spot_dir=np.asarray([0, -1, 0], np.float32),
+            spot_angle=0.0,
+        )
+
+    def update_sun(self, azimuth: float | None = None, altitude: float | None = None):
+        if azimuth is not None:
+            self.sun_azimuth = float(azimuth)
+        if altitude is not None:
+            self.sun_altitude = float(altitude)
+        old = self._light_slots[0][1]
+        new = self._make_sun()
+        new.prev = {
+            "pos": old.pos, "radius": old.radius, "color": old.color,
+            "range": old.range, "kind": old.kind,
+            "spot_dir": old.spot_dir, "spot_angle": old.spot_angle,
+        }
+        self._light_slots[0] = (_SUN_HANDLE, new)
+
+    def insert_light(self, handle: Hashable, **kw):
+        rec = _LightRec(
+            pos=np.asarray(kw.get("pos", [0, 0, 0]), np.float32),
+            radius=float(kw.get("radius", 0.1)),
+            color=np.asarray(kw.get("color", [1, 1, 1]), np.float32),
+            range=float(kw.get("range", np.inf)),
+            kind=int(kw.get("kind", LIGHT_POINT)),
+            spot_dir=np.asarray(kw.get("spot_dir", [0, -1, 0]), np.float32),
+            spot_angle=float(kw.get("spot_angle", 0.0)),
+        )
+        if handle in self._light_index:
+            slot = self._light_index[handle]
+            old = self._light_slots[slot][1]
+            rec.prev = {
+                "pos": old.pos, "radius": old.radius, "color": old.color,
+                "range": old.range, "kind": old.kind,
+                "spot_dir": old.spot_dir, "spot_angle": old.spot_angle,
+            }
+            self._light_slots[slot] = (handle, rec)
+        else:
+            slot = len(self._light_slots)
+            assert slot < self._light_capacity, "light capacity exceeded"
+            self._light_slots.append((handle, rec))
+            self._light_index[handle] = slot
+
+    def remove_light(self, handle: Hashable):
+        """Compacting removal with kill/remap markers (lights.rs:101-125)."""
+        if handle not in self._light_index or handle == _SUN_HANDLE:
+            return
+        slot = self._light_index.pop(handle)
+        self._light_slots.pop(slot)
+        self._killed.add(slot)
+        for h, s in list(self._light_index.items()):
+            if s > slot:
+                self._remapped.setdefault(h, s)
+                self._light_index[h] = s - 1
+
+    def _build_lights(self) -> Lights:
+        cap = self._light_capacity
+        n = len(self._light_slots)
+
+        def col(fn, shape, dtype=np.float32):
+            out = np.zeros((cap,) + shape, dtype)
+            for i, (_, rec) in enumerate(self._light_slots):
+                out[i] = fn(rec)
+            return out
+
+        def pcol(fn, key, shape, dtype=np.float32):
+            out = np.zeros((cap,) + shape, dtype)
+            for i, (_, rec) in enumerate(self._light_slots):
+                out[i] = rec.prev.get(key, fn(rec))
+            return out
+
+        remap = np.full((cap,), -1, np.int32)
+        killed = np.zeros((cap,), np.int32)
+        for h, old_slot in self._remapped.items():
+            if old_slot < cap and h in self._light_index:
+                remap[old_slot] = self._light_index[h]
+        for s in self._killed:
+            if s < cap:
+                killed[s] = 1
+
+        kind = np.zeros((cap,), np.int32)
+        prev_kind = np.zeros((cap,), np.int32)
+        for i, (_, rec) in enumerate(self._light_slots):
+            kind[i] = rec.kind
+            prev_kind[i] = rec.prev.get("kind", rec.kind)
+
+        return Lights(
+            pos=jnp.asarray(col(lambda r: r.pos, (3,))),
+            radius=jnp.asarray(col(lambda r: r.radius, ())),
+            color=jnp.asarray(col(lambda r: r.color, (3,))),
+            range=jnp.asarray(col(lambda r: r.range, ())),
+            kind=jnp.asarray(kind),
+            spot_dir=jnp.asarray(col(lambda r: r.spot_dir, (3,))),
+            spot_angle=jnp.asarray(col(lambda r: r.spot_angle, ())),
+            prev_pos=jnp.asarray(pcol(lambda r: r.pos, "pos", (3,))),
+            prev_radius=jnp.asarray(pcol(lambda r: r.radius, "radius", ())),
+            prev_color=jnp.asarray(pcol(lambda r: r.color, "color", (3,))),
+            prev_range=jnp.asarray(pcol(lambda r: r.range, "range", ())),
+            prev_kind=jnp.asarray(prev_kind),
+            prev_spot_dir=jnp.asarray(pcol(lambda r: r.spot_dir, "spot_dir", (3,))),
+            prev_spot_angle=jnp.asarray(
+                pcol(lambda r: r.spot_angle, "spot_angle", ())
+            ),
+            remap=jnp.asarray(remap),
+            killed=jnp.asarray(killed),
+            count=jnp.asarray(len(self._light_slots), jnp.int32),
+        )
+
+    # -- instances ------------------------------------------------------
+
+    def insert_instance(
+        self,
+        handle: Hashable,
+        positions: np.ndarray,  # [T, 3, 3] (object space)
+        material_id: int = 0,
+        normals: np.ndarray | None = None,
+        uvs: np.ndarray | None = None,
+        transform: np.ndarray | None = None,
+    ):
+        """Adds/replaces a triangle-soup instance; world transform applied
+        with inverse-transpose normals (mesh_triangle.rs:48-87)."""
+        positions = np.asarray(positions, np.float32)
+        t = positions.shape[0]
+        if normals is None:
+            e1 = positions[:, 1] - positions[:, 0]
+            e2 = positions[:, 2] - positions[:, 0]
+            n = np.cross(e1, e2)
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+            normals = np.repeat(n[:, None, :], 3, axis=1)
+        normals = np.asarray(normals, np.float32)
+        uvs = (
+            np.zeros((t, 3, 2), np.float32)
+            if uvs is None
+            else np.asarray(uvs, np.float32)
+        )
+        if transform is not None:
+            m = np.asarray(transform, np.float32)
+            positions = positions @ m[:3, :3].T + m[:3, 3]
+            nm = np.linalg.inv(m[:3, :3]).T
+            normals = normals @ nm.T
+            normals /= np.maximum(
+                np.linalg.norm(normals, axis=-1, keepdims=True), 1e-20
+            )
+        self._instances[handle] = _InstanceRec(positions, normals, uvs, material_id)
+        self._geometry_dirty = True
+
+    def remove_instance(self, handle: Hashable):
+        if self._instances.pop(handle, None) is not None:
+            self._geometry_dirty = True
+
+    def _build_geometry(self):
+        from ..bvh.builder import build_bvh
+
+        parts_p, parts_n, parts_u, parts_m = [], [], [], []
+        for rec in self._instances.values():
+            parts_p.append(rec.positions)
+            parts_n.append(rec.normals)
+            parts_u.append(rec.uvs)
+            parts_m.append(np.full(len(rec.positions), rec.material_id, np.int32))
+        if not parts_p:
+            parts_p = [np.zeros((1, 3, 3), np.float32)]
+            parts_n = [np.zeros((1, 3, 3), np.float32)]
+            parts_u = [np.zeros((1, 3, 2), np.float32)]
+            parts_m = [np.zeros(1, np.int32)]
+        pos = np.concatenate(parts_p)
+        nrm = np.concatenate(parts_n)
+        uv = np.concatenate(parts_u)
+        mid = np.concatenate(parts_m)
+
+        arrays, order = build_bvh(pos)
+        pos, nrm, uv, mid = pos[order], nrm[order], uv[order], mid[order]
+
+        # pad to a capacity bucket with degenerate triangles so jitted
+        # pipelines keep their shapes across edits
+        cap = _bucket(len(pos))
+        pad = cap - len(pos)
+        if pad:
+            pos = np.concatenate([pos, np.zeros((pad, 3, 3), np.float32)])
+            nrm = np.concatenate([nrm, np.zeros((pad, 3, 3), np.float32)])
+            uv = np.concatenate([uv, np.zeros((pad, 3, 2), np.float32)])
+            mid = np.concatenate([mid, np.zeros(pad, np.int32)])
+
+        self._geometry = Geometry(
+            positions=jnp.asarray(pos),
+            normals=jnp.asarray(nrm),
+            uvs=jnp.asarray(uv),
+            tangents=jnp.zeros((cap, 3, 4), jnp.float32),
+            material_id=jnp.asarray(mid),
+        )
+        self._bvh = arrays
+        self._geometry_dirty = False
+
+    # -- tick -----------------------------------------------------------
+
+    def tick(self) -> Scene:
+        """Per-frame sync (Engine::tick, lib.rs:301-395): rebuild what
+        changed, emit the Scene with this frame's kill/remap markers,
+        then commit prev copies and clear markers."""
+        if self._geometry_dirty:
+            self._build_geometry()
+        lights = self._build_lights()
+        scene = Scene(
+            geometry=self._geometry,
+            materials=make_materials(self._materials),
+            lights=lights,
+            atlas=None if self._atlas is None else Atlas(jnp.asarray(self._atlas)),
+            sun_azimuth=jnp.asarray(self.sun_azimuth, jnp.float32),
+            sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
+            bvh=self._bvh,
+        )
+        # commit (lights.rs flush: markers visible for exactly one frame)
+        self._killed.clear()
+        self._remapped.clear()
+        for _, rec in self._light_slots:
+            rec.prev = {}
+        self.frame += 1
+        return scene
