@@ -167,8 +167,9 @@ def _trace_anyhit_pallas(scene: Scene, o, d, t_max):
 
 
 def _material_table(scene: Scene) -> jnp.ndarray:
-    """[M, 12] rows: base_color(4) emissive(3) metallic roughness
-    reflectance pad(2) — one one-hot matmul fetches a full material."""
+    """[M, 20] rows: base_color(4) emissive(3) metallic roughness
+    reflectance pad(2) base_color_tex(4) emissive_tex(4) — one one-hot
+    matmul fetches a full material."""
     m = scene.materials
     return jnp.concatenate(
         [
@@ -178,6 +179,8 @@ def _material_table(scene: Scene) -> jnp.ndarray:
             m.roughness[:, None],
             m.reflectance[:, None],
             jnp.zeros((m.num_materials, 2), jnp.float32),
+            m.base_color_tex,
+            m.emissive_tex,
         ],
         axis=-1,
     )
@@ -200,12 +203,12 @@ def trace_surface(
     """
     from .hit import NUDGE_OFFSET, Surface, surface_at
     from .gather import gather_rows
+    from .texture import sample_material_channel
 
     if use_pallas is None:
         use_pallas = _pallas_available()
     big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
-    textured = scene.atlas is not None
-    if not use_pallas or not _pallas_available() or big or textured:
+    if not use_pallas or not _pallas_available() or (big and scene.bvh is None):
         hit = trace_closest(scene, o, d)
         return surface_at(scene, o, d, hit, regularize=regularize)
 
@@ -215,14 +218,31 @@ def trace_surface(
     pad = (-rows.shape[0]) % 8
     if pad:
         rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
-    out = trace_surface_pallas(rows, o, d)
 
-    some = out["tri"] >= 0
+    if big:
+        from .pallas.bvh_kernels import bvh_trace_surface_pallas, pack_nodes
+
+        out = bvh_trace_surface_pallas(pack_nodes(scene.bvh), rows, o, d)
+        some = out["hit"]
+    else:
+        out = trace_surface_pallas(rows, o, d)
+        some = out["tri"] >= 0
+
     t = jnp.where(some, out["t"], 0.0)
     normal = out["normal"]
     mat_id = jnp.where(some, out["mat_id"], 0)
+    uv = out["uv"]
 
     mrows = gather_rows(_material_table(scene), mat_id)
+    base_color = sample_material_channel(
+        scene, mrows[..., 0:4], mrows[..., 12:16], uv
+    )
+    emissive4 = jnp.concatenate(
+        [mrows[..., 4:7], jnp.ones_like(mrows[..., :1])], axis=-1
+    )
+    emissive = sample_material_channel(
+        scene, emissive4, mrows[..., 16:20], uv
+    )[..., :3]
     roughness = mrows[..., 8]
     if regularize:
         roughness = jnp.maximum(roughness, 0.75 * 0.75)
@@ -236,10 +256,10 @@ def trace_surface(
         point=z(point),
         dir=d,
         normal=z(normal),
-        uv=z(out["uv"]),
+        uv=z(uv),
         material_id=mat_id,
-        base_color=z(mrows[..., 0:4]),
-        emissive=z(mrows[..., 4:7]),
+        base_color=z(base_color),
+        emissive=z(emissive),
         metallic=z(mrows[..., 7]),
         roughness=z(roughness),
         reflectance=z(mrows[..., 9]),
@@ -263,10 +283,32 @@ def trace_anyhit(
     scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max: jnp.ndarray
 ) -> jnp.ndarray:
     """Strategy dispatcher for occlusion rays."""
-    if scene.bvh is not None and scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS:
+    big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
+    if scene.bvh is not None and big:
+        if _pallas_available():
+            from .pallas.bvh_kernels import bvh_trace_anyhit_pallas, pack_nodes
+
+            rows = _packed_geom_rows(scene)
+            return bvh_trace_anyhit_pallas(
+                pack_nodes(scene.bvh),
+                rows,
+                jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d),
+                jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+            )
         from ..bvh.traverse import trace_anyhit_bvh
 
         return trace_anyhit_bvh(scene, o, d, t_max)
     if _pallas_available():
         return _trace_anyhit_pallas(scene, o, d, t_max)
     return trace_anyhit_brute(scene, o, d, t_max)
+
+
+def _packed_geom_rows(scene: Scene):
+    from .pallas.trace_kernels import pack_geometry
+
+    rows = pack_geometry(scene.geometry)
+    pad = (-rows.shape[0]) % 8
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
+    return jax.lax.stop_gradient(rows)
