@@ -281,3 +281,27 @@ def sah_cost(arrays: BvhArrays) -> float:
     e = np.maximum(cmax - cmin, 0.0)
     ha = e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] + e[..., 2] * e[..., 0]
     return float((ha * count).sum())
+
+
+def pad_nodes(arrays: BvhArrays, capacity: int) -> BvhArrays:
+    """Pads the node arrays to `capacity` rows so dynamic scenes keep a
+    stable pytree shape across rebuilds (the reference grows its GPU
+    buffer in 128 KiB steps for the same reason,
+    buffers/mapped_storage_buffer.rs:28-57). Padding rows are empty
+    leaves ([inf, -inf] boxes, count 0) that traversal never visits."""
+    n = arrays.num_nodes
+    if capacity <= n:
+        return arrays
+    pad = capacity - n
+    inf = jnp.full((pad, 2, 3), jnp.inf, jnp.float32)
+    return BvhArrays(
+        child_min=jnp.concatenate([arrays.child_min, inf]),
+        child_max=jnp.concatenate([arrays.child_max, -inf]),
+        child=jnp.concatenate(
+            [arrays.child, jnp.full((pad, 2), -1, jnp.int32)]
+        ),
+        child_count=jnp.concatenate(
+            [arrays.child_count, jnp.zeros((pad, 2), jnp.int32)]
+        ),
+        max_depth=arrays.max_depth,
+    )

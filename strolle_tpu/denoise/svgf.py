@@ -159,8 +159,15 @@ def _wavelet(color, var, surf, stride, strength, jitter, sigma_ab):
     sky = ~surf.is_some
     center_luma = vm.luma(color)
     a, b = sigma_ab
+    # The reference lerps on the raw sqrt(var) (frame_denoising.rs:263,
+    # :266); above var=1 that extrapolates the sigma NEGATIVE and
+    # exp(-luma_w) can overflow to inf (NaN after normalization). Our
+    # sky radiance is EXPOSURE-scaled so high variances are routine —
+    # saturate the ramp so sigma stays in [b, a].
     luma_sigma = vm.lerp(
-        jnp.float32(a), jnp.float32(b), jnp.sqrt(jnp.maximum(var, 0.0))
+        jnp.float32(a),
+        jnp.float32(b),
+        vm.saturate(jnp.sqrt(jnp.maximum(var, 0.0))),
     )
     depth_sigma = 0.33 / strength
 

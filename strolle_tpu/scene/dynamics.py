@@ -301,7 +301,12 @@ class SceneEditor:
             tangents=jnp.zeros((cap, 3, 4), jnp.float32),
             material_id=jnp.asarray(mid),
         )
-        self._bvh = arrays
+        # pad node arrays + pin max_depth so the Scene treedef (and
+        # therefore every jitted pipeline cache entry) survives edits
+        from ..bvh.builder import pad_nodes
+
+        arrays = pad_nodes(arrays, _bucket(arrays.num_nodes))
+        self._bvh = arrays.replace(max_depth=max(arrays.max_depth, 48))
         self._geometry_dirty = False
 
     # -- tick -----------------------------------------------------------
