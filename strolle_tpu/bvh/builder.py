@@ -57,13 +57,43 @@ def _leaf_token(first: int) -> int:
     return -(first + 1)
 
 
-def build_bvh(positions: np.ndarray) -> tuple[BvhArrays, np.ndarray]:
+def build_bvh(
+    positions: np.ndarray, backend: str | None = None
+) -> tuple[BvhArrays, np.ndarray]:
     """Builds a BVH over triangles `positions` [T, 3, 3].
 
     Returns (arrays, order) where `order` is the permutation applied to
     triangle ids: leaf ranges index the REORDERED triangle array, i.e.
     callers must permute their geometry arrays by `order`.
+
+    ``backend``: "native" (C++ builder, native/strolle_native.cpp),
+    "numpy", or None = native when available (it is ~100-1000x faster,
+    which is what makes per-frame dynamic-scene rebuilds viable).
     """
+    if backend in (None, "native"):
+        from .. import native
+
+        out = native.bvh_build(np.asarray(positions, np.float32))
+        if out is not None:
+            cmin, cmax, child, count, order, max_depth = out
+            return (
+                BvhArrays(
+                    child_min=jnp.asarray(cmin),
+                    child_max=jnp.asarray(cmax),
+                    child=jnp.asarray(child),
+                    child_count=jnp.asarray(count),
+                    max_depth=max_depth,
+                ),
+                order,
+            )
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
+    return build_bvh_numpy(positions)
+
+
+def build_bvh_numpy(positions: np.ndarray) -> tuple[BvhArrays, np.ndarray]:
+    """Pure-numpy reference implementation of `build_bvh` (correctness
+    baseline; used when the native library cannot be built)."""
     positions = np.asarray(positions, np.float32)
     t = positions.shape[0]
     assert t > 0

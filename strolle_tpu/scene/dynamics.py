@@ -248,12 +248,10 @@ class SceneEditor:
             else np.asarray(uvs, np.float32)
         )
         if transform is not None:
-            m = np.asarray(transform, np.float32)
-            positions = positions @ m[:3, :3].T + m[:3, 3]
-            nm = np.linalg.inv(m[:3, :3]).T
-            normals = normals @ nm.T
-            normals /= np.maximum(
-                np.linalg.norm(normals, axis=-1, keepdims=True), 1e-20
+            from .. import native
+
+            positions, normals = native.transform_triangles(
+                positions, normals, np.asarray(transform, np.float32)
             )
         self._instances[handle] = _InstanceRec(positions, normals, uvs, material_id)
         self._geometry_dirty = True

@@ -115,33 +115,31 @@ def _node_transform(node) -> np.ndarray:
 
 @dataclass
 class _AtlasPacker:
-    """Shelf packer (replaces images.rs guillotine allocator)."""
+    """Guillotine packer over the native allocator (the role
+    guillotiere plays for images.rs:29-43); shelf fallback lives inside
+    native.AtlasAllocator when the C++ library is unavailable."""
 
     size: int
     image: np.ndarray = None  # type: ignore
-    x: int = 0
-    y: int = 0
-    shelf_h: int = 0
     rects: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        from .. import native
+
         self.image = np.zeros((self.size, self.size, 4), np.float32)
+        self._alloc = native.AtlasAllocator(self.size, self.size)
 
     def add(self, key, img: np.ndarray):
         h, w = img.shape[:2]
-        if self.x + w > self.size:
-            self.y += self.shelf_h
-            self.x = 0
-            self.shelf_h = 0
-        if self.y + h > self.size:
+        pos = self._alloc.alloc(w, h)
+        if pos is None:
             raise ValueError("atlas full")
-        self.image[self.y : self.y + h, self.x : self.x + w] = img
+        x, y = pos
+        self.image[y : y + h, x : x + w] = img
         self.rects[key] = np.asarray(
-            [self.x / self.size, self.y / self.size, w / self.size, h / self.size],
+            [x / self.size, y / self.size, w / self.size, h / self.size],
             np.float32,
         )
-        self.x += w
-        self.shelf_h = max(self.shelf_h, h)
 
 
 def _decode_image(raw: bytes, srgb: bool) -> np.ndarray:
