@@ -139,3 +139,90 @@ def trace_anyhit_bvh(scene, o, d, t_max) -> jnp.ndarray:
         scene.bvh, scene.geometry.positions, of, df, tl, any_hit=True
     )
     return (tri >= 0).reshape(batch)
+
+
+#: Bytes charged per traversal event, matching the reference's
+#: used_memory accounting (ray.rs:141,147,184): each visited node
+#: fetches its header Vec4 (16 B) + 3 more Vec4s when internal (48 B);
+#: each tested leaf triangle fetches one leaf Vec4 + a 9-Vec4 Triangle.
+NODE_BYTES = 64
+TRIANGLE_BYTES = 160
+
+
+def trace_cost_bvh(scene, o, d) -> jnp.ndarray:
+    """Per-ray traversal memory traffic in bytes (the reference's
+    used_memory counter, ray.rs:126-147,184) for the BVH heatmap debug
+    view and TPU load-balance profiling. Same traversal structure as
+    _traverse, with a bytes carry instead of early exits."""
+    bvh, positions = scene.bvh, scene.geometry.positions
+    batch = o.shape[:-1]
+    of = o.reshape(-1, 3)
+    df = d.reshape(-1, 3)
+    r = of.shape[0]
+    maxd = bvh.max_depth
+    inv_d = safe_inv_dir(df)
+    lane = jnp.arange(r)
+
+    zero = of[..., 0] * 0.0
+    stack = jnp.zeros((r, maxd), jnp.int32) + zero[:, None].astype(jnp.int32)
+    ptr = zero.astype(jnp.int32) + 1
+    best_t = jnp.inf + zero
+    used = zero.astype(jnp.int32)
+
+    def cond(carry):
+        ptr, *_ = carry
+        return jnp.any(ptr > 0)
+
+    def body(carry):
+        ptr, stack, best_t, used = carry
+        active = ptr > 0
+        slot = jnp.maximum(ptr - 1, 0)
+        node = stack[lane, slot]
+        ptr = jnp.where(active, ptr - 1, ptr)
+        used = jnp.where(active, used + NODE_BYTES, used)
+
+        cmin = bvh.child_min[node]
+        cmax = bvh.child_max[node]
+        child = bvh.child[node]
+        ccount = bvh.child_count[node]
+
+        tbox = ray_aabb(
+            of[:, None, :], inv_d[:, None, :], cmin, cmax, best_t[:, None]
+        )
+        box_hit = jnp.isfinite(tbox) & active[:, None]
+        is_leaf = child < 0
+        first = -(child + 1)
+
+        for k in range(2):
+            leaf_mask = box_hit[:, k] & is_leaf[:, k]
+            f = jnp.where(is_leaf[:, k], first[:, k], 0)
+            cnt = jnp.where(leaf_mask, ccount[:, k], 0)
+            used = used + cnt * TRIANGLE_BYTES
+            for j in range(MAX_LEAF_SIZE):
+                tri_idx = jnp.clip(f + j, 0, positions.shape[0] - 1)
+                tri = positions[tri_idx]
+                t, _, _, _ = ray_triangle(of, df, tri[:, 0], tri[:, 1], tri[:, 2])
+                ok = (j < cnt) & (t < best_t)
+                best_t = jnp.where(ok, t, best_t)
+
+        push = box_hit & ~is_leaf
+        near_is_0 = tbox[:, 0] <= tbox[:, 1]
+        far_k = jnp.where(near_is_0, 1, 0)
+        near_k = 1 - far_k
+        far_child = child[lane, far_k]
+        near_child = child[lane, near_k]
+        far_push = push[lane, far_k]
+        near_push = push[lane, near_k]
+
+        stack = stack.at[lane, jnp.minimum(ptr, maxd - 1)].set(
+            jnp.where(far_push, far_child, stack[lane, jnp.minimum(ptr, maxd - 1)])
+        )
+        ptr = jnp.where(far_push, ptr + 1, ptr)
+        stack = stack.at[lane, jnp.minimum(ptr, maxd - 1)].set(
+            jnp.where(near_push, near_child, stack[lane, jnp.minimum(ptr, maxd - 1)])
+        )
+        ptr = jnp.where(near_push, ptr + 1, ptr)
+        return ptr, stack, best_t, used
+
+    _, _, _, used = jax.lax.while_loop(cond, body, (ptr, stack, best_t, used))
+    return used.reshape(batch)

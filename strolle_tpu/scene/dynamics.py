@@ -313,9 +313,13 @@ class SceneEditor:
         """Per-frame sync (Engine::tick, lib.rs:301-395): rebuild what
         changed, emit the Scene with this frame's kill/remap markers,
         then commit prev copies and clear markers."""
+        from ..utils import metrics
+
         if self._geometry_dirty:
-            self._build_geometry()
-        lights = self._build_lights()
+            with metrics.measure("tick.bvh"):
+                self._build_geometry()
+        with metrics.measure("tick.lights"):
+            lights = self._build_lights()
         scene = Scene(
             geometry=self._geometry,
             materials=make_materials(self._materials),
@@ -325,6 +329,9 @@ class SceneEditor:
             sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
             bvh=self._bvh,
         )
+        from ..utils import metrics
+
+        metrics.scene_stats(scene, self.frame)
         # commit (lights.rs flush: markers visible for exactly one frame)
         self._killed.clear()
         self._remapped.clear()
