@@ -208,7 +208,12 @@ def trace_surface(
     if use_pallas is None:
         use_pallas = _pallas_available()
     big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
-    if not use_pallas or not _pallas_available() or (big and scene.bvh is None):
+    if (
+        not use_pallas
+        or not _pallas_available()
+        or (big and scene.bvh is None)
+        or scene.has_alpha  # fused kernel has no alpha re-test; restart path
+    ):
         hit = trace_closest(scene, o, d)
         return surface_at(scene, o, d, hit, regularize=regularize)
 
@@ -268,8 +273,8 @@ def trace_surface(
     )
 
 
-def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
-    """Strategy dispatcher for closest-hit."""
+def _trace_closest_opaque(scene: Scene, o, d) -> TriangleHit:
+    """Closest-hit strategy dispatch, ignoring alpha blending."""
     if scene.bvh is not None and scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS:
         from ..bvh.traverse import trace_closest_bvh
 
@@ -279,10 +284,78 @@ def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
     return trace_closest_brute(scene, o, d)
 
 
-def trace_anyhit(
-    scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max: jnp.ndarray
-) -> jnp.ndarray:
-    """Strategy dispatcher for occlusion rays."""
+#: Max transparent layers skipped per ray (the reference keeps walking
+#: the BVH indefinitely, ray.rs:212-229; four restarts cover practical
+#: foliage/decal stacks).
+MAX_ALPHA_RESTARTS = 4
+_ALPHA_SKIP_EPS = 1e-3
+
+
+def _hit_alpha(scene: Scene, hit: TriangleHit) -> jnp.ndarray:
+    """Sampled base-color alpha at a hit on an AlphaMode::Blend material;
+    1.0 for hits on opaque materials and for misses (ray.rs:212-229)."""
+    from .texture import sample_material_channel
+
+    tri = jnp.maximum(hit.tri, 0)
+    mat_id = scene.geometry.material_id[tri]
+    blend = scene.materials.alpha_blend[mat_id] != 0
+    uvs = scene.geometry.uvs[tri]
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+    w = 1.0 - u - v
+    uv = w * uvs[..., 0, :] + u * uvs[..., 1, :] + v * uvs[..., 2, :]
+    base = sample_material_channel(
+        scene,
+        scene.materials.base_color[mat_id],
+        scene.materials.base_color_tex[mat_id],
+        uv,
+    )
+    return jnp.where(hit.is_some & blend, base[..., 3], 1.0)
+
+
+def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
+    """Closest OPAQUE hit. When the scene has AlphaMode::Blend materials,
+    hits whose sampled base-color alpha < 1 are skipped by restarting the
+    ray past them (the TPU-shaped equivalent of the reference's
+    mid-traversal alpha re-test, ray.rs:212-229)."""
+    if not scene.has_alpha:
+        return _trace_closest_opaque(scene, o, d)
+
+    zero = o[..., 0] * 0.0
+
+    def body(_, carry):
+        o_cur, t_off, done, bt, btri, bu, bv = carry
+        hit = _trace_closest_opaque(scene, o_cur, d)
+        alpha = _hit_alpha(scene, hit)
+        opaque = hit.is_some & (alpha >= 1.0)
+        accept = ~done & opaque
+        t_tot = t_off + hit.t
+        bt = jnp.where(accept, t_tot, bt)
+        btri = jnp.where(accept, hit.tri, btri)
+        bu = jnp.where(accept, hit.u, bu)
+        bv = jnp.where(accept, hit.v, bv)
+        done = done | opaque | ~hit.is_some
+        step = jnp.where(hit.is_some, hit.t, 0.0) + _ALPHA_SKIP_EPS
+        o_cur = jnp.where(done[..., None], o_cur, o_cur + d * step[..., None])
+        t_off = jnp.where(done, t_off, t_off + step)
+        return o_cur, t_off, done, bt, btri, bu, bv
+
+    init = (
+        o,
+        zero,
+        zero.astype(bool),
+        zero + jnp.inf,
+        zero.astype(jnp.int32) - 1,
+        zero,
+        zero,
+    )
+    _, _, _, bt, btri, bu, bv = jax.lax.fori_loop(
+        0, MAX_ALPHA_RESTARTS, body, init
+    )
+    return TriangleHit(t=bt, tri=btri, u=bu, v=bv)
+
+
+def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
     big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
     if scene.bvh is not None and big:
         if _pallas_available():
@@ -302,6 +375,37 @@ def trace_anyhit(
     if _pallas_available():
         return _trace_anyhit_pallas(scene, o, d, t_max)
     return trace_anyhit_brute(scene, o, d, t_max)
+
+
+def trace_anyhit(
+    scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max: jnp.ndarray
+) -> jnp.ndarray:
+    """Occlusion query counting only opaque geometry: alpha-blend hits
+    do not occlude unless their sampled alpha is 1 (ray.rs:84-112 with
+    the :212-229 alpha re-test)."""
+    if not scene.has_alpha:
+        return _trace_anyhit_opaque(scene, o, d, t_max)
+
+    t_max = jnp.broadcast_to(t_max, o.shape[:-1])
+    zero = o[..., 0] * 0.0
+
+    def body(_, carry):
+        o_cur, t_off, done, occluded = carry
+        hit = _trace_closest_opaque(scene, o_cur, d)
+        alpha = _hit_alpha(scene, hit)
+        t_tot = t_off + hit.t
+        in_range = hit.is_some & (t_tot < t_max)
+        opaque = in_range & (alpha >= 1.0)
+        occluded = occluded | (~done & opaque)
+        done = done | opaque | ~in_range
+        step = jnp.where(hit.is_some, hit.t, 0.0) + _ALPHA_SKIP_EPS
+        o_cur = jnp.where(done[..., None], o_cur, o_cur + d * step[..., None])
+        t_off = jnp.where(done, t_off, t_off + step)
+        return o_cur, t_off, done, occluded
+
+    init = (o, zero, zero.astype(bool), zero.astype(bool))
+    _, _, _, occluded = jax.lax.fori_loop(0, MAX_ALPHA_RESTARTS, body, init)
+    return occluded
 
 
 def _packed_geom_rows(scene: Scene):

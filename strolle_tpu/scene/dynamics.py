@@ -328,6 +328,7 @@ class SceneEditor:
             sun_azimuth=jnp.asarray(self.sun_azimuth, jnp.float32),
             sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
             bvh=self._bvh,
+            has_alpha=any(m.get("alpha_blend") for m in self._materials),
         )
         from ..utils import metrics
 

@@ -274,4 +274,5 @@ def load_gltf(
         sun_azimuth=jnp.asarray(sun_azimuth, jnp.float32),
         sun_altitude=jnp.asarray(sun_altitude, jnp.float32),
         bvh=None,
+        has_alpha=any(r.get("alpha_blend") for r in mat_records),
     )

@@ -121,6 +121,10 @@ class Scene:
     sun_altitude: jnp.ndarray  # f32[]
     # Flattened BVH (None until built; see strolle_tpu.bvh)
     bvh: Optional["object"] = None
+    # Static: any AlphaMode::Blend materials present? Gates the
+    # alpha-tested traversal path (ray.rs:212-229) at trace time so
+    # fully-opaque scenes pay nothing for it.
+    has_alpha: bool = static(default=False)
 
 
 def make_materials(records: list[dict]) -> Materials:
