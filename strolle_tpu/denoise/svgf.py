@@ -68,7 +68,10 @@ def _sample_weight(
     depth_w = jnp.where(
         diff >= leeway, 0.0, 1.0 - diff / jnp.maximum(leeway, 1e-20)
     )
-    normal_w = jnp.maximum(vm.dot(sample_normal, center_normal), 0.0) ** 64.0
+    # normal_dot^64 via 6 squarings (float pow lowers to exp/log on VPU)
+    normal_w = jnp.maximum(vm.dot(sample_normal, center_normal), 0.0)
+    for _ in range(6):
+        normal_w = normal_w * normal_w
     return jnp.exp(-luma_w) * depth_w * normal_w
 
 

@@ -48,7 +48,9 @@ def _ggx_schlick_masking(n_dot_l, n_dot_v, roughness):
 
 def _ggx_schlick_fresnel(f0, l_dot_h):
     f90 = vm.saturate(jnp.sum(f0 * (50.0 * 0.33), axis=-1))
-    p = jnp.maximum(1.0 - l_dot_h, 0.001) ** 5.0
+    x = jnp.maximum(1.0 - l_dot_h, 0.001)
+    x2 = x * x
+    p = x2 * x2 * x  # x**5 as multiplies (float pow lowers to exp/log)
     return f0 + (f90[..., None] - f0) * p[..., None]
 
 

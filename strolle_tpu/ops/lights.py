@@ -90,9 +90,8 @@ def radiance(light: LightGather, surf) -> LightRadiance:
     to_point = vm.normalize(surf.point - light.pos)
     cosang = jnp.clip(vm.dot(vm.normalize(light.spot_dir), to_point), -1.0, 1.0)
     angle = jnp.arccos(cosang)
-    spot_f = vm.saturate(
-        1.0 - (angle / jnp.maximum(light.spot_angle, 1e-6)) ** 3.0
-    )
+    q = angle / jnp.maximum(light.spot_angle, 1e-6)
+    spot_f = vm.saturate(1.0 - q * q * q)
     f_angle = jnp.where(light.kind == LIGHT_POINT, 1.0, spot_f)
 
     # smooth inverse-square distance falloff

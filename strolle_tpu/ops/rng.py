@@ -65,15 +65,17 @@ def sample_sphere(state):
     state, u1 = next_f32(state)
     state, u2 = next_f32(state)
     phi = u0 * (2.0 * jnp.pi)
-    cos_theta = u1 * 2.0 - 1.0
-    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    # cos(acos(2u-1)) == 2u-1 and sin(acos(x)) == sqrt(1-x^2): evaluate
+    # the reference's acos/sin/cos chain algebraically (transcendentals
+    # are the VPU's slowest ops; this is numerically identical).
+    cos_theta = jnp.clip(u1 * 2.0 - 1.0, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     r = jnp.sqrt(u2)
-    sin_t = jnp.sin(theta)
     return state, jnp.stack(
         [
-            r * sin_t * jnp.cos(phi),
-            r * sin_t * jnp.sin(phi),
-            r * jnp.cos(theta),
+            r * sin_theta * jnp.cos(phi),
+            r * sin_theta * jnp.sin(phi),
+            r * cos_theta,
         ],
         axis=-1,
     )
