@@ -70,6 +70,23 @@ def sample_pixels(
     o, d = pixel_rays(camera, grid)
     state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
 
+    # Megakernel fast path: the whole bounce loop in one Pallas kernel
+    # (ops/pallas/ref_kernel.py) — no XLA glue between bounces. Falls
+    # back to the staged jnp path for gradients (use_pallas=False),
+    # sky, textures, alpha, or large scenes (the kernel is brute-force).
+    from ..ops.trace import BRUTE_FORCE_MAX_TRIS, _pallas_available
+
+    if (
+        use_pallas is not False
+        and _pallas_available()
+        and not include_sky
+        and luts is None
+        and scene.atlas is None
+        and not scene.has_alpha
+        and scene.geometry.num_triangles <= BRUTE_FORCE_MAX_TRIS
+    ):
+        return _sample_pixels_megakernel(scene, o, d, state, depth)
+
     hw = o.shape[:-1]
     color = jnp.zeros(hw + (3,), jnp.float32)
     throughput = jnp.ones(hw + (3,), jnp.float32)
@@ -134,6 +151,32 @@ def sample_pixels(
             d = jnp.where(alive[..., None], new_dir, d)
 
     return color
+
+
+def _sample_pixels_megakernel(scene, o, d, state, depth, interpret=False):
+    from ..ops.pallas.ref_kernel import (
+        pack_lights,
+        pack_materials,
+        trace_sample_megakernel,
+    )
+    from ..ops.pallas.trace_kernels import pack_geometry
+
+    rows = pack_geometry(scene.geometry)
+    pad = (-rows.shape[0]) % 8
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
+    sg = jax.lax.stop_gradient
+    return trace_sample_megakernel(
+        sg(rows),
+        sg(pack_materials(scene.materials)),
+        sg(pack_lights(scene.lights)),
+        scene.lights.count,
+        sg(o),
+        sg(d),
+        state,
+        depth=depth,
+        interpret=interpret,
+    )
 
 
 def trace_sample(
