@@ -155,16 +155,16 @@ def sample_pixels(
 
 def _sample_pixels_megakernel(scene, o, d, state, depth, interpret=False):
     from ..ops.pallas.ref_kernel import (
+        pack_geometry_bw,
         pack_lights,
         pack_materials,
         trace_sample_megakernel,
     )
-    from ..ops.pallas.trace_kernels import pack_geometry
 
-    rows = pack_geometry(scene.geometry)
+    rows = pack_geometry_bw(scene.geometry)
     pad = (-rows.shape[0]) % 8
     if pad:
-        rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 24), rows.dtype)])
     sg = jax.lax.stop_gradient
     return trace_sample_megakernel(
         sg(rows),

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .trace_kernels import LANES, SUBLANES, TILE, _moller_trumbore, _tile_rays
+from .trace_kernels import LANES, SUBLANES, TILE, _tile_rays
 
 _F32_EPS = 1.1920929e-07
 NUDGE = 0.01
@@ -137,6 +137,65 @@ def _mod_u32(word, count_f):
     return x - jnp.floor(x / count_f) * count_f  # f32 integer in [0, count)
 
 
+def pack_geometry_bw(geom) -> jnp.ndarray:
+    """Geometry -> [T, 24] Baldwin-Weber rows for the megakernel:
+    n(3) d0 T1(3) d1 T2(3) d2 n0(3) n1(3) n2(3) mat pad(2).
+
+    Precomputing the barycentric transform planes (Baldwin & Weber,
+    "Fast Ray-Triangle Intersections by Coordinate Transformation")
+    drops the per-ray cross products of Möller-Trumbore: the inner loop
+    becomes three plane evaluations (~25% fewer VPU ops). n is the
+    UNnormalized geometric normal e1 x e2, so sign(n . d) carries the
+    same orientation information as Möller-Trumbore's determinant
+    (det = -n . d), which triangle.rs:64-113 uses for the normal flip.
+    """
+    p = geom.positions
+    a, b, c = p[:, 0], p[:, 1], p[:, 2]
+    e1 = b - a
+    e2 = c - a
+    n = jnp.cross(e1, e2)
+    denom = jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True), 1e-30)
+    t1 = jnp.cross(e2, n) / denom
+    t2 = jnp.cross(n, e1) / denom
+    rows = [
+        n,
+        jnp.sum(n * a, axis=-1, keepdims=True),  # d0
+        t1,
+        -jnp.sum(t1 * a, axis=-1, keepdims=True),  # d1
+        t2,
+        -jnp.sum(t2 * a, axis=-1, keepdims=True),  # d2
+        geom.normals[:, 0],
+        geom.normals[:, 1],
+        geom.normals[:, 2],
+        geom.material_id.astype(jnp.float32)[:, None],
+        jnp.zeros((p.shape[0], 2), jnp.float32),
+    ]
+    return jnp.concatenate(rows, axis=-1)
+
+
+def _bw_isect(row, ox, oy, oz, dx, dy, dz):
+    """One Baldwin-Weber row against a ray tile. Returns
+    (t, u, v, nd) with t = +inf on miss; MT's det == -nd."""
+    nx_, ny_, nz_ = row[0], row[1], row[2]
+    nd = nx_ * dx + ny_ * dy + nz_ * dz
+    no = nx_ * ox + ny_ * oy + nz_ * oz
+    miss_plane = jnp.abs(nd) < _F32_EPS
+    t = (row[3] - no) / jnp.where(miss_plane, 1.0, nd)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = row[4] * px + row[5] * py + row[6] * pz + row[7]
+    v = row[8] * px + row[9] * py + row[10] * pz + row[11]
+    hit = (
+        jnp.logical_not(miss_plane)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return jnp.where(hit, t, jnp.inf), u, v, nd
+
+
 # --- BRDF pieces (ops/brdf.py in plane form) ------------------------------
 
 
@@ -187,7 +246,7 @@ def _specular_eval(
 def _ref_megakernel_body(depth: int):
     def kernel(
         lcount_ref,  # SMEM (1, 1) i32
-        tri_ref,  # [T, 28] geometry rows (pack_geometry)
+        tri_ref,  # [T, 24] Baldwin-Weber rows (pack_geometry_bw)
         mat_ref,  # [M, 12] material rows
         light_ref,  # [L, 13] light rows
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # ray planes
@@ -220,23 +279,17 @@ def _ref_megakernel_body(depth: int):
                 (bt, bu, bv, n0x, n0y, n0z, n1x, n1y, n1z,
                  n2x, n2y, n2z, mat, dsign) = carry
                 row = tri_ref[i]
-                t, u, v, _ = _moller_trumbore(row, ox, oy, oz, dx, dy, dz)
+                t, u, v, nd = _bw_isect(row, ox, oy, oz, dx, dy, dz)
                 better = t < bt
-                # det sign for the normal flip
-                e1x, e1y, e1z = row[3], row[4], row[5]
-                e2x, e2y, e2z = row[6], row[7], row[8]
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
                 sel = lambda a_new, a_old: jnp.where(better, a_new, a_old)
                 return (
                     sel(t, bt), sel(u, bu), sel(v, bv),
-                    sel(row[9], n0x), sel(row[10], n0y), sel(row[11], n0z),
-                    sel(row[12], n1x), sel(row[13], n1y), sel(row[14], n1z),
-                    sel(row[15], n2x), sel(row[16], n2y), sel(row[17], n2z),
-                    sel(row[24], mat),
-                    sel(jnp.where(det >= 0.0, 1.0, -1.0), dsign),
+                    sel(row[12], n0x), sel(row[13], n0y), sel(row[14], n0z),
+                    sel(row[15], n1x), sel(row[16], n1y), sel(row[17], n1z),
+                    sel(row[18], n2x), sel(row[19], n2y), sel(row[20], n2z),
+                    sel(row[21], mat),
+                    # MT det = -nd, flip = copysign(1, det)
+                    sel(jnp.where(nd <= 0.0, 1.0, -1.0), dsign),
                 )
 
             init = (zero + jnp.inf, zero, zero) + tuple(zero for _ in range(10)) + (
@@ -328,7 +381,7 @@ def _ref_megakernel_body(depth: int):
             sdx_r, sdy_r, sdz_r = thx / slen, thy / slen, thz / slen
 
             def any_body(i, occ):
-                t, _, _, _ = _moller_trumbore(
+                t, _, _, _ = _bw_isect(
                     tri_ref[i], sox, soy, soz, sdx_r, sdy_r, sdz_r
                 )
                 return occ | (t < slen).astype(jnp.int32)
@@ -490,7 +543,7 @@ def trace_sample_megakernel(
 ):
     """One path-traced sample per ray, fully in-kernel.
 
-    tri_rows [T, 28] (pack_geometry, T % 8 == 0), mat_rows [M, 12],
+    tri_rows [T, 24] (pack_geometry_bw, T % 8 == 0), mat_rows [M, 12],
     light_rows [L, 13], lcount i32 scalar, o/d [..., 3], state0 u32 over
     o's batch shape (wnoise_new states). Returns radiance [..., 3].
     """

@@ -70,3 +70,41 @@ def test_surface_kernel_matches_surface_at():
     assert (
         np.asarray(out["mat_id"])[some] == np.asarray(surf.material_id)[some]
     ).all()
+
+
+def test_ref_megakernel_matches_oracle():
+    """The megakernel steps the same PCG stream as the jnp oracle path,
+    so a single path-traced sample must match per pixel (ref_shading.rs
+    semantics, fused; see ops/pallas/ref_kernel.py)."""
+    import jax.numpy as jnp
+
+    from strolle_tpu.camera import pixel_rays, screen_grid
+    from strolle_tpu.models.reference import (
+        _sample_pixels_megakernel,
+        sample_pixels,
+    )
+    from strolle_tpu.ops import rng
+    from strolle_tpu.scene.cornell import cornell_box, cornell_camera
+
+    scene = cornell_box()
+    camera = cornell_camera(64, 48)
+    grid = screen_grid(camera)
+    seed = jnp.uint32(11)
+
+    want = sample_pixels(
+        scene, camera, grid, seed, depth=2, include_sky=False,
+        use_pallas=False,
+    )
+    o, d = pixel_rays(camera, grid)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    got = _sample_pixels_megakernel(
+        scene, o, d, state, depth=2, interpret=True
+    )
+    # The kernel replays the oracle's PCG stream, so pixels match
+    # sample-for-sample — except at triangle edges, where the kernel's
+    # Baldwin-Weber intersection rounds differently from the oracle's
+    # Möller-Trumbore and a binary visibility decision can flip. Those
+    # are rare (<1%) and unbiased, so the means also agree tightly.
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max(axis=-1)
+    assert (diff <= 2e-3).mean() > 0.99, (diff > 2e-3).mean()
+    assert abs(np.asarray(got).mean() - np.asarray(want).mean()) < 5e-3
