@@ -176,6 +176,8 @@ def _sample_pixels_megakernel(scene, o, d, state, depth, interpret=False):
         state,
         depth=depth,
         interpret=interpret,
+        flat=scene.flat_normals,
+        no_metal=not scene.has_metal,
     )
 
 

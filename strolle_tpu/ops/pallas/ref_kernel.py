@@ -243,7 +243,39 @@ def _specular_eval(
     )
 
 
-def _ref_megakernel_body(depth: int):
+#: Inner-loop unroll factor: the per-iteration scalar row load +
+#: broadcast has latency Mosaic can only hide across independent
+#: iterations; 8-wide unrolling measured ~22% faster than 1-wide on
+#: Cornell (the selects chain, but the intersection math pipelines);
+#: full unroll regresses (I-cache / scheduling pressure).
+UNROLL = 8
+
+
+def _unrolled_fori(n: int, body, init):
+    """fori_loop unrolled UNROLL-wide with a peeled remainder."""
+    k = UNROLL
+    if n < 2 * k:
+        return jax.lax.fori_loop(0, n, body, init)
+
+    def wide(i, carry):
+        for j in range(k):
+            carry = body(k * i + j, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n // k, wide, init)
+    for r in range(n - n % k, n):
+        carry = body(r, carry)
+    return carry
+
+
+def _ref_megakernel_body(depth: int, flat: bool = False, no_metal: bool = False):
+    """Kernel body, specialized per scene shape (shader permutations):
+    ``flat`` — all triangles have identical unit vertex normals, so the
+    find loop carries 3 normal planes instead of 9 and skips barycentric
+    interpolation; ``no_metal`` — no referenced material has
+    metallic > 0, so the GGX specular lobe (NEE representative-point
+    eval + NDF continuation sampling) drops out entirely. RNG draws are
+    kept in both variants so the PCG stream matches the jnp oracle."""
     def kernel(
         lcount_ref,  # SMEM (1, 1) i32
         tri_ref,  # [T, 24] Baldwin-Weber rows (pack_geometry_bw)
@@ -275,38 +307,61 @@ def _ref_megakernel_body(depth: int):
 
         for bounce in range(depth + 1):
             # --- closest hit + attribute resolve (one fused loop) -------
-            def find_body(i, carry):
-                (bt, bu, bv, n0x, n0y, n0z, n1x, n1y, n1z,
-                 n2x, n2y, n2z, mat, dsign) = carry
-                row = tri_ref[i]
-                t, u, v, nd = _bw_isect(row, ox, oy, oz, dx, dy, dz)
-                better = t < bt
-                sel = lambda a_new, a_old: jnp.where(better, a_new, a_old)
-                return (
-                    sel(t, bt), sel(u, bu), sel(v, bv),
-                    sel(row[12], n0x), sel(row[13], n0y), sel(row[14], n0z),
-                    sel(row[15], n1x), sel(row[16], n1y), sel(row[17], n1z),
-                    sel(row[18], n2x), sel(row[19], n2y), sel(row[20], n2z),
-                    sel(row[21], mat),
-                    # MT det = -nd, flip = copysign(1, det)
-                    sel(jnp.where(nd <= 0.0, 1.0, -1.0), dsign),
-                )
+            if flat:
+                # n0 rows are the unit geometric normal; no barycentric
+                # interpolation, and u/v are not needed downstream.
+                def find_body(i, carry):
+                    bt, nx, ny, nz, mat, dsign = carry
+                    row = tri_ref[i]
+                    t, _, _, nd = _bw_isect(row, ox, oy, oz, dx, dy, dz)
+                    better = t < bt
+                    sel = lambda a_new, a_old: jnp.where(better, a_new, a_old)
+                    return (
+                        sel(t, bt),
+                        sel(row[12], nx), sel(row[13], ny), sel(row[14], nz),
+                        sel(row[21], mat),
+                        # MT det = -nd, flip = copysign(1, det)
+                        sel(jnp.where(nd <= 0.0, 1.0, -1.0), dsign),
+                    )
 
-            init = (zero + jnp.inf, zero, zero) + tuple(zero for _ in range(10)) + (
-                zero,
-            )
-            (bt, bu, bv, n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
-             mat, dsign) = jax.lax.fori_loop(0, n_tris, find_body, init)
+                bt, nx, ny, nz, mat, dsign = _unrolled_fori(
+                    n_tris, find_body,
+                    (zero + jnp.inf, zero, zero, zero, zero, zero),
+                )
+                nx, ny, nz = nx * dsign, ny * dsign, nz * dsign
+            else:
+                def find_body(i, carry):
+                    (bt, bu, bv, n0x, n0y, n0z, n1x, n1y, n1z,
+                     n2x, n2y, n2z, mat, dsign) = carry
+                    row = tri_ref[i]
+                    t, u, v, nd = _bw_isect(row, ox, oy, oz, dx, dy, dz)
+                    better = t < bt
+                    sel = lambda a_new, a_old: jnp.where(better, a_new, a_old)
+                    return (
+                        sel(t, bt), sel(u, bu), sel(v, bv),
+                        sel(row[12], n0x), sel(row[13], n0y), sel(row[14], n0z),
+                        sel(row[15], n1x), sel(row[16], n1y), sel(row[17], n1z),
+                        sel(row[18], n2x), sel(row[19], n2y), sel(row[20], n2z),
+                        sel(row[21], mat),
+                        # MT det = -nd, flip = copysign(1, det)
+                        sel(jnp.where(nd <= 0.0, 1.0, -1.0), dsign),
+                    )
+
+                init = (zero + jnp.inf, zero, zero) + tuple(
+                    zero for _ in range(10)
+                ) + (zero,)
+                (bt, bu, bv, n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+                 mat, dsign) = _unrolled_fori(n_tris, find_body, init)
+
+                w = 1.0 - bu - bv
+                nx = w * n0x + bu * n1x + bv * n2x
+                ny = w * n0y + bu * n1y + bv * n2y
+                nz = w * n0z + bu * n1z + bv * n2z
+                nx, ny, nz = _normalize3(nx, ny, nz)
+                nx, ny, nz = nx * dsign, ny * dsign, nz * dsign
 
             is_some = jnp.isfinite(bt).astype(jnp.int32)
             alive = alive & is_some
-
-            w = 1.0 - bu - bv
-            nx = w * n0x + bu * n1x + bv * n2x
-            ny = w * n0y + bu * n1y + bv * n2y
-            nz = w * n0z + bu * n1z + bv * n2z
-            nx, ny, nz = _normalize3(nx, ny, nz)
-            nx, ny, nz = nx * dsign, ny * dsign, nz * dsign
 
             bts = jnp.where(is_some > 0, bt, 0.0)
             px = ox + dx * bts + nx * NUDGE
@@ -314,23 +369,30 @@ def _ref_megakernel_body(depth: int):
             pz = oz + dz * bts + nz * NUDGE
 
             # --- material resolve (loop over rows, select) --------------
+            mat_cols = [0, 1, 2, 4, 5, 6] if no_metal else [
+                0, 1, 2, 4, 5, 6, 7, 8, 9
+            ]
+
             def mat_body(i, carry):
                 row = mat_ref[i]
                 sel = mat == i.astype(jnp.float32)
-                out = []
-                for prev, val in zip(
-                    carry,
-                    [row[0], row[1], row[2], row[4], row[5], row[6],
-                     row[7], row[8], row[9]],
-                ):
-                    out.append(jnp.where(sel, val, prev))
-                return tuple(out)
+                return tuple(
+                    jnp.where(sel, row[c], prev)
+                    for prev, c in zip(carry, mat_cols)
+                )
 
-            (bc_r, bc_g, bc_b, em_r, em_g, em_b, metallic, roughness,
-             reflectance) = jax.lax.fori_loop(
-                0, n_mats, mat_body, tuple(zero for _ in range(9))
+            mat_vals = jax.lax.fori_loop(
+                0, n_mats, mat_body, tuple(zero for _ in mat_cols)
             )
-            if bounce > 0:
+            if no_metal:
+                bc_r, bc_g, bc_b, em_r, em_g, em_b = mat_vals
+                metallic = zero
+                roughness = jnp.ones(shape, jnp.float32)
+                reflectance = zero
+            else:
+                (bc_r, bc_g, bc_b, em_r, em_g, em_b, metallic, roughness,
+                 reflectance) = mat_vals
+            if bounce > 0 and not no_metal:
                 roughness = jnp.maximum(roughness, 0.75 * 0.75)
 
             alive_f = (alive > 0).astype(jnp.float32)
@@ -386,7 +448,9 @@ def _ref_megakernel_body(depth: int):
                 )
                 return occ | (t < slen).astype(jnp.int32)
 
-            occ = jax.lax.fori_loop(0, n_tris, any_body, jnp.zeros(shape, jnp.int32))
+            occ = _unrolled_fori(
+                n_tris, any_body, jnp.zeros(shape, jnp.int32)
+            )
 
             # Light::radiance (light.rs:143-207)
             lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
@@ -417,33 +481,37 @@ def _ref_megakernel_body(depth: int):
             diff_k = (1.0 - metallic) / jnp.pi
             dbr, dbg, dbb = bc_r * diff_k, bc_g * diff_k, bc_b * diff_k
 
-            # representative-point sphere specular (light.rs:170-201)
             vx, vy, vz = -dx, -dy, -dz
-            ndv2 = _dot3(-vx, -vy, -vz, nx, ny, nz)
-            rx = -vx - 2.0 * ndv2 * nx
-            ry = -vy - 2.0 * ndv2 * ny
-            rz = -vz - 2.0 * ndv2 * nz
-            lr_dot = _dot3(lvx, lvy, lvz, rx, ry, rz)
-            ctx = lr_dot * rx - lvx
-            cty = lr_dot * ry - lvy
-            ctz = lr_dot * rz - lvz
-            ct_len2 = jnp.maximum(ctx * ctx + cty * cty + ctz * ctz, 1e-20)
-            tt = _saturate(lrad * jax.lax.rsqrt(ct_len2))
-            clx = lvx + ctx * tt
-            cly = lvy + cty * tt
-            clz = lvz + ctz * tt
-            inv_len = jax.lax.rsqrt(
-                jnp.maximum(clx * clx + cly * cly + clz * clz, 1e-20)
-            )
-            cr = jnp.clip(roughness, MIN_ROUGHNESS, 1.0)
-            i_rough = cr / _saturate(cr + lrad * 0.5 * inv_len)
-            spx, spy, spz = clx * inv_len, cly * inv_len, clz * inv_len
-            sbr, sbg, sbb = _specular_eval(
-                bc_r, bc_g, bc_b, metallic, roughness, reflectance,
-                nx, ny, nz, spx, spy, spz, vx, vy, vz,
-            )
-            ir2 = i_rough * i_rough
-            sbr, sbg, sbb = ir2 * sbr, ir2 * sbg, ir2 * sbb
+            if no_metal:
+                # _specular_eval gates on metallic > 0 (brdf.rs:125-139)
+                sbr = sbg = sbb = zero
+            else:
+                # representative-point sphere specular (light.rs:170-201)
+                ndv2 = _dot3(-vx, -vy, -vz, nx, ny, nz)
+                rx = -vx - 2.0 * ndv2 * nx
+                ry = -vy - 2.0 * ndv2 * ny
+                rz = -vz - 2.0 * ndv2 * nz
+                lr_dot = _dot3(lvx, lvy, lvz, rx, ry, rz)
+                ctx = lr_dot * rx - lvx
+                cty = lr_dot * ry - lvy
+                ctz = lr_dot * rz - lvz
+                ct_len2 = jnp.maximum(ctx * ctx + cty * cty + ctz * ctz, 1e-20)
+                tt = _saturate(lrad * jax.lax.rsqrt(ct_len2))
+                clx = lvx + ctx * tt
+                cly = lvy + cty * tt
+                clz = lvz + ctz * tt
+                inv_len = jax.lax.rsqrt(
+                    jnp.maximum(clx * clx + cly * cly + clz * clz, 1e-20)
+                )
+                cr = jnp.clip(roughness, MIN_ROUGHNESS, 1.0)
+                i_rough = cr / _saturate(cr + lrad * 0.5 * inv_len)
+                spx, spy, spz = clx * inv_len, cly * inv_len, clz * inv_len
+                sbr, sbg, sbb = _specular_eval(
+                    bc_r, bc_g, bc_b, metallic, roughness, reflectance,
+                    nx, ny, nz, spx, spy, spz, vx, vy, vz,
+                )
+                ir2 = i_rough * i_rough
+                sbr, sbg, sbb = ir2 * sbr, ir2 * sbg, ir2 * sbb
 
             rad_k = f_angle * f_dist * f_cos
             nee_scale = lcount_f  # 1 / light_pdf
@@ -462,37 +530,39 @@ def _ref_megakernel_body(depth: int):
                 state, pick = _next_f32(state)
                 state, ra = _next_f32(state)
                 state, rb = _next_f32(state)
-                use_spec = pick < metallic
-
-                # specular lobe (NDF sampling, brdf.rs:82-113)
-                a = jnp.clip(roughness, MIN_ROUGHNESS, 1.0)
-                a2 = a * a
                 (tx, ty, tz), (bx_, by_, bz_) = _onb(nx, ny, nz)
-                cos_th = jnp.sqrt(
-                    jnp.maximum((1.0 - ra) / ((a2 - 1.0) * ra + 1.0), 0.0)
-                )
-                sin_th = jnp.sqrt(jnp.maximum(1.0 - cos_th * cos_th, 0.0))
-                sphi = rb * jnp.pi * 2.0
-                cp, sp = jnp.cos(sphi), jnp.sin(sphi)
-                hx = tx * (sin_th * cp) + bx_ * (sin_th * sp) + nx * cos_th
-                hy = ty * (sin_th * cp) + by_ * (sin_th * sp) + ny * cos_th
-                hz = tz * (sin_th * cp) + bz_ * (sin_th * sp) + nz * cos_th
-                n_dot_h = _saturate(_dot3(nx, ny, nz, hx, hy, hz))
-                h_dot_v = _saturate(_dot3(hx, hy, hz, vx, vy, vz))
-                sdx2, sdy2, sdz2 = _normalize3(
-                    2.0 * h_dot_v * hx - vx,
-                    2.0 * h_dot_v * hy - vy,
-                    2.0 * h_dot_v * hz - vz,
-                )
-                s_pdf = (
-                    _ggx_distribution(n_dot_h, a)
-                    * n_dot_h
-                    / jnp.maximum(4.0 * h_dot_v, 1e-8)
-                )
-                srr, srg, srb = _specular_eval(
-                    bc_r, bc_g, bc_b, metallic, roughness, reflectance,
-                    nx, ny, nz, sdx2, sdy2, sdz2, vx, vy, vz,
-                )
+
+                if not no_metal:
+                    use_spec = pick < metallic
+
+                    # specular lobe (NDF sampling, brdf.rs:82-113)
+                    a = jnp.clip(roughness, MIN_ROUGHNESS, 1.0)
+                    a2 = a * a
+                    cos_th = jnp.sqrt(
+                        jnp.maximum((1.0 - ra) / ((a2 - 1.0) * ra + 1.0), 0.0)
+                    )
+                    sin_th = jnp.sqrt(jnp.maximum(1.0 - cos_th * cos_th, 0.0))
+                    sphi = rb * jnp.pi * 2.0
+                    cp, sp = jnp.cos(sphi), jnp.sin(sphi)
+                    hx = tx * (sin_th * cp) + bx_ * (sin_th * sp) + nx * cos_th
+                    hy = ty * (sin_th * cp) + by_ * (sin_th * sp) + ny * cos_th
+                    hz = tz * (sin_th * cp) + bz_ * (sin_th * sp) + nz * cos_th
+                    n_dot_h = _saturate(_dot3(nx, ny, nz, hx, hy, hz))
+                    h_dot_v = _saturate(_dot3(hx, hy, hz, vx, vy, vz))
+                    sdx2, sdy2, sdz2 = _normalize3(
+                        2.0 * h_dot_v * hx - vx,
+                        2.0 * h_dot_v * hy - vy,
+                        2.0 * h_dot_v * hz - vz,
+                    )
+                    s_pdf = (
+                        _ggx_distribution(n_dot_h, a)
+                        * n_dot_h
+                        / jnp.maximum(4.0 * h_dot_v, 1e-8)
+                    )
+                    srr, srg, srb = _specular_eval(
+                        bc_r, bc_g, bc_b, metallic, roughness, reflectance,
+                        nx, ny, nz, sdx2, sdy2, sdz2, vx, vy, vz,
+                    )
 
                 # diffuse lobe (hemisphere, white.rs:78-88: ra=cos, rb=phi)
                 d_cos = ra
@@ -504,17 +574,24 @@ def _ref_megakernel_body(depth: int):
                 ddz = (tz * dcp + bz_ * dsp) * d_sin + nz * d_cos
                 d_pdf = jnp.full(shape, 1.0 / jnp.pi, jnp.float32)
 
-                ndx = jnp.where(use_spec, sdx2, ddx)
-                ndy = jnp.where(use_spec, sdy2, ddy)
-                ndz = jnp.where(use_spec, sdz2, ddz)
-                pdf = jnp.where(
-                    use_spec,
-                    s_pdf / jnp.maximum(metallic, 1e-8),
-                    d_pdf / jnp.maximum(1.0 - metallic, 1e-8),
-                )
-                rad_r = jnp.where(use_spec, srr, dbr)
-                rad_g = jnp.where(use_spec, srg, dbg)
-                rad_b = jnp.where(use_spec, srb, dbb)
+                if no_metal:
+                    # metallic == 0 everywhere: pick < 0 never selects
+                    # the specular lobe (brdf.rs:125-139)
+                    ndx, ndy, ndz = ddx, ddy, ddz
+                    pdf = d_pdf
+                    rad_r, rad_g, rad_b = dbr, dbg, dbb
+                else:
+                    ndx = jnp.where(use_spec, sdx2, ddx)
+                    ndy = jnp.where(use_spec, sdy2, ddy)
+                    ndz = jnp.where(use_spec, sdz2, ddz)
+                    pdf = jnp.where(
+                        use_spec,
+                        s_pdf / jnp.maximum(metallic, 1e-8),
+                        d_pdf / jnp.maximum(1.0 - metallic, 1e-8),
+                    )
+                    rad_r = jnp.where(use_spec, srr, dbr)
+                    rad_g = jnp.where(use_spec, srg, dbg)
+                    rad_b = jnp.where(use_spec, srb, dbb)
 
                 alive = alive & (pdf > 0.0).astype(jnp.int32)
                 cosw = _dot3(ndx, ndy, ndz, nx, ny, nz)
@@ -536,16 +613,19 @@ def _ref_megakernel_body(depth: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("depth", "interpret"))
+@partial(jax.jit, static_argnames=("depth", "interpret", "flat", "no_metal"))
 def trace_sample_megakernel(
     tri_rows, mat_rows, light_rows, lcount, o, d, state0,
     depth: int = 5, interpret: bool = False,
+    flat: bool = False, no_metal: bool = False,
 ):
     """One path-traced sample per ray, fully in-kernel.
 
     tri_rows [T, 24] (pack_geometry_bw, T % 8 == 0), mat_rows [M, 12],
     light_rows [L, 13], lcount i32 scalar, o/d [..., 3], state0 u32 over
     o's batch shape (wnoise_new states). Returns radiance [..., 3].
+    ``flat``/``no_metal`` select specialized kernel variants (see
+    _ref_megakernel_body).
     """
     batch, r, g, comps = _tile_rays(o, d)
     st = state0.reshape(-1)
@@ -571,7 +651,7 @@ def trace_sample_megakernel(
     shape = (g * SUBLANES, LANES)
     f32 = jax.ShapeDtypeStruct(shape, jnp.float32)
     cr, cg, cb = pl.pallas_call(
-        _ref_megakernel_body(depth),
+        _ref_megakernel_body(depth, flat=flat, no_metal=no_metal),
         out_shape=(f32, f32, f32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 #: Rays per tile = SUBLANES x 128. Large tiles amortize the per-triangle
 #: scalar row loads over more rays (the loop body is load-latency-bound).
-SUBLANES = 64
+SUBLANES = 128
 TILE = LANES * SUBLANES
 
 _F32_EPS = 1.1920929e-07

@@ -16,6 +16,7 @@ from .build import MeshBuilder
 from .types import (
     LIGHT_POINT,
     Scene,
+    compute_static_flags,
     make_lights,
     make_materials,
 )
@@ -144,14 +145,16 @@ def _finish(
         capacity=light_capacity,
     )
 
+    geometry = b.build()
     return Scene(
-        geometry=b.build(),
+        geometry=geometry,
         materials=materials,
         lights=lights,
         atlas=None,
         sun_azimuth=jnp.asarray(0.0, jnp.float32),
         sun_altitude=jnp.asarray(-1.0, jnp.float32),  # sun below horizon
         bvh=None,
+        **compute_static_flags(geometry, materials),
     )
 
 

@@ -29,6 +29,7 @@ from .types import (
     Geometry,
     Lights,
     Scene,
+    compute_static_flags,
     make_materials,
 )
 
@@ -320,15 +321,17 @@ class SceneEditor:
                 self._build_geometry()
         with metrics.measure("tick.lights"):
             lights = self._build_lights()
+        materials = make_materials(self._materials)
         scene = Scene(
             geometry=self._geometry,
-            materials=make_materials(self._materials),
+            materials=materials,
             lights=lights,
             atlas=None if self._atlas is None else Atlas(jnp.asarray(self._atlas)),
             sun_azimuth=jnp.asarray(self.sun_azimuth, jnp.float32),
             sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
             bvh=self._bvh,
             has_alpha=any(m.get("alpha_blend") for m in self._materials),
+            **compute_static_flags(self._geometry, materials),
         )
         from ..utils import metrics
 

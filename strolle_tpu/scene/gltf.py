@@ -22,7 +22,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from .build import MeshBuilder
-from .types import Atlas, Scene, make_lights, make_materials
+from .types import (
+    Atlas,
+    Scene,
+    compute_static_flags,
+    make_lights,
+    make_materials,
+)
 
 _COMPONENT_DTYPES = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16,
@@ -266,13 +272,16 @@ def load_gltf(
         walk(r, np.eye(4, dtype=np.float32))
 
     atlas = Atlas(image=jnp.asarray(packer.image)) if has_textures else None
+    geometry = b.build()
+    materials = make_materials(mat_records)
     return Scene(
-        geometry=b.build(),
-        materials=make_materials(mat_records),
+        geometry=geometry,
+        materials=materials,
         lights=make_lights(lights or [], capacity=light_capacity),
         atlas=atlas,
         sun_azimuth=jnp.asarray(sun_azimuth, jnp.float32),
         sun_altitude=jnp.asarray(sun_altitude, jnp.float32),
         bvh=None,
         has_alpha=any(r.get("alpha_blend") for r in mat_records),
+        **compute_static_flags(geometry, materials),
     )

@@ -125,6 +125,29 @@ class Scene:
     # alpha-tested traversal path (ray.rs:212-229) at trace time so
     # fully-opaque scenes pay nothing for it.
     has_alpha: bool = static(default=False)
+    # Static scene-shape flags driving kernel specialization (the
+    # analogue of shader permutations): flat_normals lets the
+    # reference megakernel skip barycentric normal interpolation;
+    # has_metal=False drops the whole specular lobe at trace time.
+    # Computed by compute_static_flags() from concrete host arrays.
+    flat_normals: bool = static(default=False)
+    has_metal: bool = static(default=True)
+
+
+def compute_static_flags(geometry, materials) -> dict:
+    """Inspects concrete (host) scene arrays and returns the static
+    specialization flags for Scene. Must be called OUTSIDE jit."""
+    n = np.asarray(geometry.normals)
+    flat = bool(
+        np.allclose(n[:, 0], n[:, 1], atol=1e-5)
+        and np.allclose(n[:, 0], n[:, 2], atol=1e-5)
+        and np.allclose((n[:, 0] ** 2).sum(-1), 1.0, atol=1e-3)
+    )
+    mids = np.asarray(geometry.material_id)
+    metallic = np.asarray(materials.metallic)
+    used = np.unique(np.clip(mids, 0, metallic.shape[0] - 1))
+    has_metal = bool((metallic[used] > 0.0).any())
+    return {"flat_normals": flat, "has_metal": has_metal}
 
 
 def make_materials(records: list[dict]) -> Materials:
