@@ -11,3 +11,5 @@ __version__ = "0.1.0"
 
 from .camera import Camera, make_camera  # noqa: F401
 from .scene.types import Scene  # noqa: F401
+from .scene.dynamics import SceneEditor  # noqa: F401
+from .renderer import CameraSettings, Renderer  # noqa: F401

@@ -56,6 +56,32 @@ class _InstanceRec:
     material_id: int
 
 
+@dataclass
+class _MeshRec:
+    positions: np.ndarray  # [T, 3, 3] object space
+    normals: np.ndarray
+    uvs: np.ndarray
+
+
+@dataclass
+class _MeshInstanceRec:
+    """Instance referencing a mesh asset (instances.rs:69-139): resolved
+    to world-space triangles at tick; skipped (retried next frame) while
+    the mesh or material handle is missing (instances.rs:85-101)."""
+
+    mesh: Hashable
+    material: Hashable | int
+    transform: np.ndarray | None
+
+
+@dataclass
+class _ImageRec:
+    source: np.ndarray  # [H, W, 4] linear f32, caller-owned
+    rect: np.ndarray  # normalized atlas rect [x, y, w, h]
+    xy: tuple[int, int]
+    dynamic: bool = False
+
+
 def _bucket(n: int, minimum: int = 256) -> int:
     b = minimum
     while b < n:
@@ -71,6 +97,7 @@ class SceneEditor:
         sun_azimuth: float = 0.0,
         sun_altitude: float = -1.0,
         atlas: np.ndarray | None = None,
+        atlas_size: int = 2048,
     ):
         self._materials = materials or [{}]
         self._atlas = atlas
@@ -82,6 +109,23 @@ class SceneEditor:
         self._geometry_dirty = True
         self._bvh = None
         self._geometry: Geometry | None = None
+
+        # mesh assets + mesh-referencing instances (Engine::insert_mesh /
+        # insert_instance, lib.rs:160-245)
+        self._meshes: dict[Hashable, _MeshRec] = {}
+        self._mesh_instances: dict[Hashable, _MeshInstanceRec] = {}
+
+        # material handle -> slot index (materials.rs:21-43); slots are
+        # stable so MaterialIds baked into instances stay valid
+        self._material_index: dict[Hashable, int] = {}
+        self._material_free: list[int] = []
+        self._materials_dirty = True
+
+        # image handles in the shared texture atlas (images.rs:29-123)
+        self._images: dict[Hashable, _ImageRec] = {}
+        self._atlas_packer = None
+        self._atlas_size = atlas_size
+        self._atlas_dirty = atlas is not None
 
         # light slots: slot 0 reserved for the sun (lights.rs:29-52)
         self._light_slots: list[tuple[Hashable, _LightRec]] = [
@@ -221,19 +265,180 @@ class SceneEditor:
             count=jnp.asarray(len(self._light_slots), jnp.int32),
         )
 
+    # -- meshes (Engine::insert_mesh/remove_mesh, lib.rs:160-175) --------
+
+    def insert_mesh(
+        self,
+        handle: Hashable,
+        positions: np.ndarray,  # [T, 3, 3] object space
+        normals: np.ndarray | None = None,
+        uvs: np.ndarray | None = None,
+    ):
+        positions = np.asarray(positions, np.float32)
+        t = positions.shape[0]
+        if normals is None:
+            e1 = positions[:, 1] - positions[:, 0]
+            e2 = positions[:, 2] - positions[:, 0]
+            n = np.cross(e1, e2)
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+            normals = np.repeat(n[:, None, :], 3, axis=1)
+        uvs = (
+            np.zeros((t, 3, 2), np.float32)
+            if uvs is None
+            else np.asarray(uvs, np.float32)
+        )
+        self._meshes[handle] = _MeshRec(
+            positions, np.asarray(normals, np.float32), uvs
+        )
+        # any instance referencing this mesh resolves (again) next tick
+        if any(r.mesh == handle for r in self._mesh_instances.values()):
+            self._geometry_dirty = True
+
+    def remove_mesh(self, handle: Hashable):
+        if self._meshes.pop(handle, None) is not None and any(
+            r.mesh == handle for r in self._mesh_instances.values()
+        ):
+            self._geometry_dirty = True
+
+    # -- materials (Engine::insert/has/remove_material, lib.rs:178-205) --
+
+    def insert_material(self, handle: Hashable, **props) -> int:
+        """Adds/updates a material; returns its stable slot index."""
+        if handle in self._material_index:
+            slot = self._material_index[handle]
+            self._materials[slot] = props
+        elif self._material_free:
+            slot = self._material_free.pop()
+            self._materials[slot] = props
+            self._material_index[handle] = slot
+        else:
+            slot = len(self._materials)
+            self._materials.append(props)
+            self._material_index[handle] = slot
+        self._materials_dirty = True
+        return slot
+
+    def has_material(self, handle: Hashable) -> bool:
+        return handle in self._material_index
+
+    def remove_material(self, handle: Hashable):
+        slot = self._material_index.pop(handle, None)
+        if slot is not None:
+            self._materials[slot] = {}
+            self._material_free.append(slot)
+            self._materials_dirty = True
+
+    def _material_slot(self, ref: Hashable | int) -> int | None:
+        if isinstance(ref, int):
+            return ref
+        return self._material_index.get(ref)
+
+    # -- images / texture atlas (images.rs:29-123) -----------------------
+
+    def _packer(self):
+        if self._atlas_packer is None:
+            from .gltf import _AtlasPacker
+
+            self._atlas_packer = _AtlasPacker(self._atlas_size)
+        return self._atlas_packer
+
+    def insert_image(
+        self, handle: Hashable, image: np.ndarray, dynamic: bool = False
+    ):
+        """Packs an [H, W, 4] linear-f32 image into the atlas. A
+        ``dynamic`` image is re-copied from the caller's array every
+        tick (images.rs:97-103), so in-place edits show up next frame."""
+        img = np.asarray(image, np.float32)
+        if handle in self._images:
+            self.remove_image(handle)
+        packer = self._packer()
+        try:
+            packer.add(handle, img)
+        except ValueError:
+            # atlas-full is a warn + skip (images.rs:71-79)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "atlas full; skipping image %r", handle
+            )
+            return
+        rect = packer.rects[handle]
+        x = int(round(rect[0] * self._atlas_size))
+        y = int(round(rect[1] * self._atlas_size))
+        self._images[handle] = _ImageRec(
+            source=image, rect=rect, xy=(x, y), dynamic=dynamic
+        )
+        self._atlas_dirty = True
+        self._materials_dirty = True  # rects may resolve differently
+
+    def remove_image(self, handle: Hashable):
+        rec = self._images.pop(handle, None)
+        if rec is None:
+            return
+        packer = self._packer()
+        x, y = rec.xy
+        h, w = rec.source.shape[:2]
+        packer._alloc.dealloc(x, y, w, h)
+        packer.image[y : y + h, x : x + w] = 0.0
+        packer.rects.pop(handle, None)
+        self._atlas_dirty = True
+        self._materials_dirty = True
+
+    def mark_image_dynamic(self, handle: Hashable):
+        """MarkImageAsDynamic (bevy-strolle/src/event.rs)."""
+        if handle in self._images:
+            self._images[handle].dynamic = True
+
+    def _resolve_material_textures(self) -> list[dict]:
+        """Resolves image handles in material records to atlas rects
+        (materials.rs:80-87 re-serializes with rects at refresh)."""
+        out = []
+        for rec in self._materials:
+            rec = dict(rec)
+            for img_key, tex_key in [
+                ("base_color_image", "base_color_tex"),
+                ("emissive_image", "emissive_tex"),
+                ("metallic_roughness_image", "metallic_roughness_tex"),
+                ("normal_map_image", "normal_map_tex"),
+            ]:
+                handle = rec.pop(img_key, None)
+                if handle is not None and handle in self._images:
+                    rec[tex_key] = self._images[handle].rect
+            out.append(rec)
+        return out
+
     # -- instances ------------------------------------------------------
 
     def insert_instance(
         self,
         handle: Hashable,
-        positions: np.ndarray,  # [T, 3, 3] (object space)
+        positions: np.ndarray | None = None,  # [T, 3, 3] (object space)
         material_id: int = 0,
         normals: np.ndarray | None = None,
         uvs: np.ndarray | None = None,
         transform: np.ndarray | None = None,
+        mesh: Hashable | None = None,
+        material: Hashable | int | None = None,
     ):
-        """Adds/replaces a triangle-soup instance; world transform applied
-        with inverse-transpose normals (mesh_triangle.rs:48-87)."""
+        """Adds/replaces an instance; world transform applied with
+        inverse-transpose normals (mesh_triangle.rs:48-87).
+
+        Two forms: a triangle soup (``positions``) baked immediately, or
+        a reference to a mesh asset (``mesh=``) resolved at tick — the
+        latter keeps Engine semantics: if the mesh or material handle is
+        not (yet) present the instance is skipped and retried next frame
+        (instances.rs:85-101)."""
+        if mesh is not None:
+            self._mesh_instances[handle] = _MeshInstanceRec(
+                mesh=mesh,
+                material=material if material is not None else material_id,
+                transform=None
+                if transform is None
+                else np.asarray(transform, np.float32),
+            )
+            self._instances.pop(handle, None)
+            self._geometry_dirty = True
+            return
         positions = np.asarray(positions, np.float32)
         t = positions.shape[0]
         if normals is None:
@@ -258,7 +463,9 @@ class SceneEditor:
         self._geometry_dirty = True
 
     def remove_instance(self, handle: Hashable):
-        if self._instances.pop(handle, None) is not None:
+        a = self._instances.pop(handle, None) is not None
+        b = self._mesh_instances.pop(handle, None) is not None
+        if a or b:
             self._geometry_dirty = True
 
     def _build_geometry(self):
@@ -270,6 +477,26 @@ class SceneEditor:
             parts_n.append(rec.normals)
             parts_u.append(rec.uvs)
             parts_m.append(np.full(len(rec.positions), rec.material_id, np.int32))
+        pending = False
+        for rec in self._mesh_instances.values():
+            mesh = self._meshes.get(rec.mesh)
+            mat = self._material_slot(rec.material)
+            if mesh is None or mat is None:
+                # retry next frame once the asset arrives
+                # (instances.rs:85-101)
+                pending = True
+                continue
+            pos, nrm = mesh.positions, mesh.normals
+            if rec.transform is not None:
+                from .. import native
+
+                pos, nrm = native.transform_triangles(
+                    pos, nrm, rec.transform
+                )
+            parts_p.append(pos)
+            parts_n.append(nrm)
+            parts_u.append(mesh.uvs)
+            parts_m.append(np.full(len(pos), mat, np.int32))
         if not parts_p:
             parts_p = [np.zeros((1, 3, 3), np.float32)]
             parts_n = [np.zeros((1, 3, 3), np.float32)]
@@ -306,7 +533,7 @@ class SceneEditor:
 
         arrays = pad_nodes(arrays, _bucket(arrays.num_nodes))
         self._bvh = arrays.replace(max_depth=max(arrays.max_depth, 48))
-        self._geometry_dirty = False
+        self._geometry_dirty = pending
 
     # -- tick -----------------------------------------------------------
 
@@ -321,12 +548,40 @@ class SceneEditor:
                 self._build_geometry()
         with metrics.measure("tick.lights"):
             lights = self._build_lights()
-        materials = make_materials(self._materials)
+
+        # dynamic images re-copied every frame (images.rs:97-103, own
+        # flush); then the atlas array is (re)uploaded only when dirty
+        with metrics.measure("tick.images"):
+            for rec in self._images.values():
+                if rec.dynamic:
+                    x, y = rec.xy
+                    src = np.asarray(rec.source, np.float32)
+                    h, w = src.shape[:2]
+                    self._atlas_packer.image[y : y + h, x : x + w] = src
+                    self._atlas_dirty = True
+            if self._atlas_dirty or not hasattr(self, "_atlas_dev"):
+                if self._images:
+                    self._atlas_dev = Atlas(jnp.asarray(self._atlas_packer.image))
+                elif self._atlas is not None:
+                    self._atlas_dev = Atlas(jnp.asarray(self._atlas))
+                else:
+                    self._atlas_dev = None
+                self._atlas_dirty = False
+
+        # materials re-serialized only when dirty (materials.rs:80-87)
+        if self._materials_dirty or not hasattr(self, "_materials_dev"):
+            with metrics.measure("tick.materials"):
+                self._materials_dev = make_materials(
+                    self._resolve_material_textures()
+                )
+            self._materials_dirty = False
+        materials = self._materials_dev
+
         scene = Scene(
             geometry=self._geometry,
             materials=materials,
             lights=lights,
-            atlas=None if self._atlas is None else Atlas(jnp.asarray(self._atlas)),
+            atlas=self._atlas_dev,
             sun_azimuth=jnp.asarray(self.sun_azimuth, jnp.float32),
             sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
             bvh=self._bvh,

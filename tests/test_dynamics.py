@@ -108,3 +108,100 @@ def test_render_with_editor_scene():
     a = np.asarray(img)
     assert np.isfinite(a).all()
     assert a.max() > 0  # lit floor visible
+
+
+def test_mesh_asset_instances_and_materials():
+    """Engine mesh/material handle APIs (lib.rs:160-245): instances
+    referencing missing assets are retried next frame."""
+    ed = SceneEditor(light_capacity=4)
+    # instance first, mesh+material later: must not crash, resolves
+    # once the assets arrive (instances.rs:85-101)
+    ed.insert_instance("inst", mesh="box", material="red")
+    s0 = ed.tick()
+
+    tri = np.asarray([[[-1, 0, -1], [1, 0, -1], [1, 0, 1]]], np.float32)
+    ed.insert_mesh("box", tri)
+    assert not ed.has_material("red")
+    ed.insert_material("red", base_color=[1, 0, 0, 1])
+    assert ed.has_material("red")
+    s1 = ed.tick()
+    # the triangle is now present (plus the degenerate filler rows)
+    assert np.abs(np.asarray(s1.geometry.positions)).sum() > 0
+
+    # transformed second instance via the same mesh
+    xf = np.eye(4, dtype=np.float32)
+    xf[0, 3] = 5.0
+    ed.insert_instance("inst2", mesh="box", material="red", transform=xf)
+    s2 = ed.tick()
+    assert np.asarray(s2.geometry.positions)[..., 0].max() >= 4.0
+
+    # removal
+    ed.remove_instance("inst2")
+    ed.remove_mesh("box")  # inst now pending again
+    ed.remove_material("red")
+    s3 = ed.tick()
+    assert np.isfinite(np.asarray(s3.geometry.positions)).all()
+
+
+def test_material_slot_reuse():
+    ed = SceneEditor()
+    a = ed.insert_material("a", base_color=[1, 1, 1, 1])
+    b = ed.insert_material("b", base_color=[0, 1, 0, 1])
+    ed.remove_material("a")
+    c = ed.insert_material("c", base_color=[0, 0, 1, 1])
+    assert c == a  # freed slot recycled
+    assert b != c
+
+
+def test_images_atlas_and_dynamic():
+    ed = SceneEditor(atlas_size=64)
+    img = np.ones((8, 8, 4), np.float32)
+    ed.insert_image("tex", img, dynamic=True)
+    ed.insert_material("m", base_color=[1, 1, 1, 1], base_color_image="tex")
+    ed.insert_instance("i", _tri([0, 0, 0]), material_id=ed.insert_material(
+        "m", base_color=[1, 1, 1, 1], base_color_image="tex"))
+    s0 = ed.tick()
+    rect = np.asarray(s0.materials.base_color_tex[ed._material_index["m"]])
+    assert rect[2] > 0 and rect[3] > 0  # resolved to a non-empty rect
+    assert s0.atlas is not None
+    before = float(np.asarray(s0.atlas.image).sum())
+
+    # dynamic: mutate the caller-owned array in place -> next tick sees it
+    img *= 0.5
+    s1 = ed.tick()
+    after = float(np.asarray(s1.atlas.image).sum())
+    assert after < before
+
+    ed.remove_image("tex")
+    s2 = ed.tick()
+    rect2 = np.asarray(s2.materials.base_color_tex[ed._material_index["m"]])
+    assert rect2[2] == 0  # back to untextured
+
+
+def test_renderer_camera_lifecycle():
+    from strolle_tpu.camera import make_camera
+    from strolle_tpu.renderer import CameraSettings, Renderer
+
+    ed = SceneEditor(light_capacity=4)
+    ed.insert_instance("floor", _tri([0, 0, 0]))
+    ed.insert_light("l", pos=[0, 2, 0], color=[5, 5, 5])
+    scene = ed.tick()
+
+    r = Renderer()
+    cam = make_camera(eye=[0, 1.5, 3], target=[0, 0, 0], width=16, height=16)
+    r.create_camera("main", cam, CameraSettings(mode="reference",
+                                                reference_depth=1))
+    img0 = r.render_camera("main", scene, 0)
+    img1 = r.render_camera("main", scene, 1)
+    assert np.isfinite(np.asarray(img1)).all()
+
+    # mode switch invalidates temporal state (camera.rs:17-48)
+    r.update_camera("main", settings=CameraSettings(mode="image",
+                                                    denoise=False))
+    assert r._cameras["main"].state is None
+    img2 = r.render_camera("main", scene, 2)
+    assert np.asarray(img2).shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(img2)).all()
+
+    r.delete_camera("main")
+    assert not r.has_camera("main")
