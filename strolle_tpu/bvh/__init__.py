@@ -14,7 +14,8 @@ def scene_with_bvh(scene: Scene) -> Scene:
     contiguous (the role of bvh/serializer.rs + BvhPrimitives ordering)."""
     geom = scene.geometry
     arrays, order = build_bvh(np.asarray(geom.positions))
-    order = jnp.asarray(order)
+    if not isinstance(geom.positions, np.ndarray):
+        order = jnp.asarray(order)
     geom = geom.replace(
         positions=geom.positions[order],
         normals=geom.normals[order],

@@ -76,12 +76,14 @@ def build_bvh(
         out = native.bvh_build(np.asarray(positions, np.float32))
         if out is not None:
             cmin, cmax, child, count, order, max_depth = out
+            # host numpy on purpose (jit transfers h2d on first call;
+            # eager d2h readbacks cripple later gathers — ops/gather.py)
             return (
                 BvhArrays(
-                    child_min=jnp.asarray(cmin),
-                    child_max=jnp.asarray(cmax),
-                    child=jnp.asarray(child),
-                    child_count=jnp.asarray(count),
+                    child_min=cmin,
+                    child_max=cmax,
+                    child=child,
+                    child_count=count,
                     max_depth=max_depth,
                 ),
                 order,
@@ -281,10 +283,10 @@ def build_bvh_numpy(positions: np.ndarray) -> tuple[BvhArrays, np.ndarray]:
         _swap_nodes(a_child_min, a_child_max, a_child, a_count, 0, root_id)
 
     arrays = BvhArrays(
-        child_min=jnp.asarray(a_child_min),
-        child_max=jnp.asarray(a_child_max),
-        child=jnp.asarray(a_child),
-        child_count=jnp.asarray(a_count),
+        child_min=a_child_min,
+        child_max=a_child_max,
+        child=a_child,
+        child_count=a_count,
         max_depth=int(max_depth) + 2,
     )
     return arrays, new_order

@@ -29,6 +29,10 @@ def _traverse(bvh: BvhArrays, positions, o, d, t_limit, any_hit: bool):
     """
     r = o.shape[0]
     maxd = bvh.max_depth
+    # scene arrays may be host numpy (scene/build.py); coerce so the
+    # while-loop body can fancy-index them with tracers.
+    bvh = jax.tree.map(jnp.asarray, bvh)
+    positions = jnp.asarray(positions)
     inv_d = safe_inv_dir(d)
     lane = jnp.arange(r)
 
@@ -154,7 +158,8 @@ def trace_cost_bvh(scene, o, d) -> jnp.ndarray:
     used_memory counter, ray.rs:126-147,184) for the BVH heatmap debug
     view and TPU load-balance profiling. Same traversal structure as
     _traverse, with a bytes carry instead of early exits."""
-    bvh, positions = scene.bvh, scene.geometry.positions
+    bvh = jax.tree.map(jnp.asarray, scene.bvh)
+    positions = jnp.asarray(scene.geometry.positions)
     batch = o.shape[:-1]
     of = o.reshape(-1, 3)
     df = d.reshape(-1, 3)

@@ -10,6 +10,7 @@ whole screen instead of per-thread `Camera::ray` calls.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .ops import math as vm
@@ -107,13 +108,29 @@ def world_to_clip(camera: Camera, pos: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def world_to_screen_xy(camera: Camera, pos: jnp.ndarray):
+    """World point -> screen pixel coords as separate (x, y) planes.
+
+    Separate planes keep downstream index math (reprojection gathers)
+    out of stacked [..., 2] arrays, whose slices draw T(1,128)/T(2,128)
+    TPU layouts (see ops/gather.py).
+    """
+    m = camera.projection_view
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    cx = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3]
+    cy = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3]
+    cw = m[3, 0] * x + m[3, 1] * y + m[3, 2] * z + m[3, 3]
+    ndc_x = cx / cw
+    ndc_y = -(cy / cw)
+    sx = (0.5 * ndc_x + 0.5) * camera.width
+    sy = (0.5 * ndc_y + 0.5) * camera.height
+    return sx, sy
+
+
 def world_to_screen(camera: Camera, pos: jnp.ndarray) -> jnp.ndarray:
     """World point -> screen-space pixel coordinates (camera.rs:24-35)."""
-    clip = world_to_clip(camera, pos)
-    ndc = clip[..., :2] / clip[..., 3:4]
-    ndc = ndc * jnp.asarray([1.0, -1.0], jnp.float32)
-    size = jnp.asarray([camera.width, camera.height], jnp.float32)
-    return (0.5 * ndc + 0.5) * size
+    sx, sy = world_to_screen_xy(camera, pos)
+    return jnp.stack([sx, sy], axis=-1)
 
 
 def pixel_rays(camera: Camera, pixels_xy: jnp.ndarray):
@@ -138,11 +155,23 @@ def pixel_rays(camera: Camera, pixels_xy: jnp.ndarray):
     return near, vm.normalize(far - near)
 
 
+def screen_xy(camera: Camera):
+    """Integer pixel coordinates as two [H, W] arrays (x, y).
+
+    Built with `broadcasted_iota`: composing a [H,1]/[1,W] arange
+    through broadcasting (or meshgrid) poisons downstream index math
+    with T(1,128)-tiled layouts on TPU — a gather whose index chain
+    contains one costs ~5 ms instead of ~0.05 ms at 800x608.
+    """
+    shape = (camera.height, camera.width)
+    ys = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return xs, ys
+
+
 def screen_grid(camera: Camera) -> jnp.ndarray:
     """Integer pixel coordinates [H, W, 2] (x, y order)."""
-    ys, xs = jnp.meshgrid(
-        jnp.arange(camera.height), jnp.arange(camera.width), indexing="ij"
-    )
+    xs, ys = screen_xy(camera)
     return jnp.stack([xs, ys], axis=-1)
 
 
@@ -151,15 +180,25 @@ def primary_rays(camera: Camera):
     return pixel_rays(camera, screen_grid(camera))
 
 
-def contain(camera: Camera, pos_xy: jnp.ndarray) -> jnp.ndarray:
-    """Mirror out-of-bounds integer coords back inside (camera.rs:57-77)."""
-    x, y = pos_xy[..., 0], pos_xy[..., 1]
+def contain_xy(camera: Camera, x: jnp.ndarray, y: jnp.ndarray):
+    """Mirror out-of-bounds integer coords back inside (camera.rs:57-77).
+
+    Operates on separate x/y arrays — keeping index math out of
+    stacked [..., 2] arrays avoids TPU minor-dim relayouts (see
+    `screen_xy`).
+    """
     w = camera.width
     h = camera.height
     x = jnp.where(x < 0, -x, x)
     y = jnp.where(y < 0, -y, y)
     x = jnp.where(x >= w, 2 * w - x - 1, x)
     y = jnp.where(y >= h, 2 * h - y - 1, y)
+    return x, y
+
+
+def contain(camera: Camera, pos_xy: jnp.ndarray) -> jnp.ndarray:
+    """Mirror out-of-bounds integer coords back inside (camera.rs:57-77)."""
+    x, y = contain_xy(camera, pos_xy[..., 0], pos_xy[..., 1])
     return jnp.stack([x, y], axis=-1)
 
 

@@ -21,9 +21,10 @@ not denoised (README.md:40).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from ..ops import bluenoise, math as vm
+from ..ops import bluenoise, gather, math as vm
 from ..ops.hit import Surface
 from ..restir.primary import Reprojection, bilinear_reproject
 from ..utils.pytree import pytree_dataclass
@@ -157,8 +158,40 @@ def estimate_variance(color, moments, surf: Surface):
     return jnp.where(sky, 0.0, jnp.maximum(var, 0.0))
 
 
-def _wavelet(color, var, surf, stride, strength, jitter, sigma_ab):
-    """One a-trous iteration: 3x3 taps at `stride`, blue-noise jitter."""
+def _jitter_shift(arr, jy, jx, radius):
+    """Per-pixel shift by small integer offsets |j| <= radius.
+
+    Selects among statically shifted copies (pad+slice) — per-pixel
+    gathers and take_along_axis both draw pathological TPU layouts in
+    this computation, while static shifts + selects stay on the VPU.
+    Edge behavior is clamp (matches the clip the gather version used).
+    """
+
+    def axis_pass(a, j, axis):
+        out = a
+        for d in range(-radius, radius + 1):
+            if d == 0:
+                continue
+            dy, dx = (d, 0) if axis == 0 else (0, d)
+            shifted, _ = _shift(a, dy, dx)
+            m = j == d
+            out = jnp.where(m if a.ndim == 2 else m[..., None], shifted, out)
+        return out
+
+    return axis_pass(axis_pass(arr, jy, 0), jx, 1)
+
+
+def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
+    """One a-trous iteration: 3x3 taps at `stride`, blue-noise jitter.
+
+    The reference jitters each tap position by the CENTER pixel's
+    blue-noise offset (frame_denoising.rs:300-306). Expressing that as
+    per-tap gathers makes XLA pick pathological layouts (185 ms/pass at
+    800x608); instead we jitter the sampled FIELDS once per pass (each
+    tap's offset is then evaluated at the tap's own pixel rather than
+    the center — an equally valid dither of the same magnitude) and
+    read the 8 taps as static shifts, which lower to pad+slice.
+    """
     sky = ~surf.is_some
     center_luma = vm.luma(color)
     a, b = sigma_ab
@@ -177,34 +210,32 @@ def _wavelet(color, var, surf, stride, strength, jitter, sigma_ab):
     sum_w = jnp.ones_like(var)
     sum_c = color
     sum_v = var
-    jx = jitter[..., 0]
-    jy = jitter[..., 1]
 
     h, w = var.shape
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
+    fields = (color, var, surf.depth, surf.normal, sky.astype(jnp.float32))
+    if jitter_yx is not None:
+        jy, jx, radius = jitter_yx
+        fields = tuple(_jitter_shift(f, jy, jx, radius) for f in fields)
+    j_color, j_var, j_depth, j_normal, j_skyf = fields
 
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
             if oy == 0 and ox == 0:
                 continue
-            py = ys + jy + oy * stride
-            px = xs + jx + ox * stride
-            inb = (py >= 0) & (py < h) & (px >= 0) & (px < w)
-            cy = jnp.clip(py, 0, h - 1)
-            cx = jnp.clip(px, 0, w - 1)
-            s_color = color[cy, cx]
-            s_var = var[cy, cx]
+            dy = oy * stride
+            dx = ox * stride
+            s_color, inb = _shift(j_color, dy, dx)
+            s_var, _ = _shift(j_var, dy, dx)
+            s_depth, _ = _shift(j_depth, dy, dx)
+            s_normal, _ = _shift(j_normal, dy, dx)
+            s_skyf, _ = _shift(j_skyf, dy, dx)
             s_luma = vm.luma(s_color)
-            s_depth = surf.depth[cy, cx]
-            s_normal = surf.normal[cy, cx]
-            s_sky = sky[cy, cx]
             wgt = _sample_weight(
                 center_luma, surf.depth, surf.normal,
                 s_luma, s_depth, s_normal,
                 luma_sigma, depth_sigma,
             )
-            wgt = jnp.where(inb & ~s_sky & (wgt > 0.0), wgt, 0.0)
+            wgt = jnp.where(inb & (s_skyf < 0.5) & (wgt > 0.0), wgt, 0.0)
             sum_w = sum_w + wgt
             sum_c = sum_c + wgt[..., None] * s_color
             sum_v = sum_v + wgt * wgt * s_var
@@ -228,22 +259,30 @@ def denoise_channel(
     color, moments = temporal_reproject(samples, surf, reproj, state)
     var = estimate_variance(color, moments, surf)
 
-    from ..camera import screen_grid  # local import to avoid cycle
-
     h, w = var.shape
-    grid = jnp.stack(
-        jnp.meshgrid(jnp.arange(w), jnp.arange(h), indexing="xy"), axis=-1
-    )
-    _, bn2 = bluenoise.sample_pair(grid, frame)
+    _, _, bn_x, bn_y = bluenoise.sample_pair_screen(h, w, frame)
+    bn_x = bn_x - 0.5
+    bn_y = bn_y - 0.5
 
     sigma_ab = LUMA_SIGMA[kind]
     new_prev_color = None
     for nth in range(WAVELET_PASSES):
         stride = 2**nth
         strength = float(1 + nth)
-        jitter = ((bn2 - 0.5) * (stride - 1.0) * 0.5).astype(jnp.int32)
+        amp = (stride - 1.0) * 0.5
+        radius = int(amp * 0.5)  # max |int(bn * amp)| with |bn| < 0.5
+        if radius == 0:
+            # the int cast truncates sub-pixel jitter to 0: the first
+            # three strides are unjittered (as in the reference).
+            jitter_yx = None
+        else:
+            jitter_yx = (
+                (bn_y * amp).astype(jnp.int32),
+                (bn_x * amp).astype(jnp.int32),
+                radius,
+            )
         color, var = _wavelet(
-            color, var, surf, stride, strength, jitter, sigma_ab
+            color, var, surf, stride, strength, jitter_yx, sigma_ab
         )
         if nth == 0:
             # first-iteration feedback becomes next frame's history

@@ -145,7 +145,9 @@ def render_frame(
     else:
         sky = jnp.zeros((h, w, 3), jnp.float32)
 
-    bn_first, bn_second = bluenoise.sample_pair(grid, frame)
+    bn1x, bn1y, bn2x, bn2y = bluenoise.sample_pair_screen(h, w, frame)
+    bn_first = jnp.stack([bn1x, bn1y], axis=-1)
+    bn_second = jnp.stack([bn2x, bn2y], axis=-1)
 
     zeros4 = jnp.zeros((h, w, 4), jnp.float32)
     di_diff, di_spec = zeros4, zeros4

@@ -31,12 +31,14 @@ class TrainableParams:
 
 
 def params_from_scene(scene: Scene) -> TrainableParams:
+    # jnp.asarray: scene leaves may be host numpy (scene/build.py), but
+    # trainable params need device arrays (.at updates, grads).
     return TrainableParams(
-        base_color=scene.materials.base_color,
-        emissive=scene.materials.emissive,
-        light_pos=scene.lights.pos,
-        light_color=scene.lights.color,
-        positions=scene.geometry.positions,
+        base_color=jnp.asarray(scene.materials.base_color),
+        emissive=jnp.asarray(scene.materials.emissive),
+        light_pos=jnp.asarray(scene.lights.pos),
+        light_color=jnp.asarray(scene.lights.color),
+        positions=jnp.asarray(scene.geometry.positions),
     )
 
 

@@ -297,17 +297,19 @@ def _hit_alpha(scene: Scene, hit: TriangleHit) -> jnp.ndarray:
     from .texture import sample_material_channel
 
     tri = jnp.maximum(hit.tri, 0)
-    mat_id = scene.geometry.material_id[tri]
-    blend = scene.materials.alpha_blend[mat_id] != 0
-    uvs = scene.geometry.uvs[tri]
+    # jnp.asarray: scene fields may be host numpy (see scene/build.py) and
+    # numpy can't be fancy-indexed by tracers inside the fori_loop body.
+    mat_id = jnp.asarray(scene.geometry.material_id)[tri]
+    blend = jnp.asarray(scene.materials.alpha_blend)[mat_id] != 0
+    uvs = jnp.asarray(scene.geometry.uvs)[tri]
     u = hit.u[..., None]
     v = hit.v[..., None]
     w = 1.0 - u - v
     uv = w * uvs[..., 0, :] + u * uvs[..., 1, :] + v * uvs[..., 2, :]
     base = sample_material_channel(
         scene,
-        scene.materials.base_color[mat_id],
-        scene.materials.base_color_tex[mat_id],
+        jnp.asarray(scene.materials.base_color)[mat_id],
+        jnp.asarray(scene.materials.base_color_tex)[mat_id],
         uv,
     )
     return jnp.where(hit.is_some & blend, base[..., 3], 1.0)

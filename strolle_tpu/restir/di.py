@@ -19,8 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..camera import Camera, contain, screen_grid
-from ..ops import brdf, math as vm, rng
+from ..camera import Camera, contain_xy, screen_xy
+from ..ops import brdf, gather, math as vm, rng
 from ..ops.hit import Surface
 from ..ops.lights import (
     gather_light,
@@ -77,8 +77,8 @@ def di_sampling(
     uniform light picks, then one blue-noise shadow ray; occluded
     candidates keep their sample but get w = 0."""
     shape = surf.depth.shape
-    grid = screen_grid(camera)
-    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    xs, ys = screen_xy(camera)
+    state = rng.wnoise_new(seed, xs, ys)
 
     lcount = scene.lights.count
     max_samples = jnp.minimum(lcount, DI_CANDIDATES)
@@ -134,8 +134,8 @@ def di_temporal(
     """Temporal merge with reprojected history
     (di_temporal_resampling.rs): M clamp 64, light kill/remap handling,
     defensive pairwise MIS, norm_mis."""
-    grid = screen_grid(camera)
-    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    xs, ys = screen_xy(camera)
+    state = rng.wnoise_new(seed, xs, ys)
     shape = surf.depth.shape
 
     lhs = curr.replace(
@@ -148,10 +148,10 @@ def di_temporal(
 
     # fetch history at the reprojected position
     has_rep = reproj.is_some
-    rpos = reproj.prev_pos_round
-    rx = jnp.clip(rpos[..., 0], 0, camera.width - 1)
-    ry = jnp.clip(rpos[..., 1], 0, camera.height - 1)
-    rhs = prev.gather(ry, rx)
+    rpx, rpy = reproj.prev_xy_round
+    rx = jnp.clip(rpx, 0, camera.width - 1)
+    ry = jnp.clip(rpy, 0, camera.height - 1)
+    rhs = gather.gather_tree(prev, ry, rx)
     rhs = rsv.select(has_rep, rhs, rsv.DiReservoirs.empty(shape))
     rhs = rsv.clamp_m(rhs, DI_TEMPORAL_M_CLAMP)
 
@@ -211,18 +211,16 @@ def di_temporal(
 
 
 def _gather_surface(surf: Surface, y, x) -> Surface:
-    import jax
-
-    return jax.tree.map(lambda a: a[y, x], surf)
+    return gather.gather_tree(surf, y, x)
 
 
 def checkerboard_active(camera: Camera, frame) -> jnp.ndarray:
     """Mask of pixels processed by the spatial pass this frame
     (resolve_checkerboard_alt coverage, utils.rs:33-43): x parity equals
     (frame/2 + 1 + y) % 2."""
-    grid = screen_grid(camera)
-    parity = (jnp.asarray(frame, jnp.int32) // 2 + 1 + grid[..., 1]) % 2
-    return (grid[..., 0] % 2) == parity
+    xs, ys = screen_xy(camera)
+    parity = (jnp.asarray(frame, jnp.int32) // 2 + 1 + ys) % 2
+    return (xs % 2) == parity
 
 
 def di_spatial(
@@ -239,8 +237,8 @@ def di_spatial(
     cross-visibility rays, merge with visibility-weighted MIS. The
     non-active checkerboard half passes through unchanged."""
     h, w = surf.depth.shape
-    grid = screen_grid(camera)
-    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    xs, ys = screen_xy(camera)
+    state = rng.wnoise_new(seed, xs, ys)
     shape = (h, w)
     active = checkerboard_active(camera, frame)
 
@@ -251,32 +249,34 @@ def di_spatial(
     rhs_y = jnp.zeros(shape, jnp.int32)
     radius = jnp.full(shape, DI_SPATIAL_RADIUS, jnp.float32)
 
+    xs_f = xs.astype(jnp.float32)
+    ys_f = ys.astype(jnp.float32)
+    gates, gate_specs = gather.pack_screen(
+        surf.depth, surf.normal, surf.is_some, res.m
+    )
     for _ in range(DI_SPATIAL_SAMPLES):
         state, disk = rng.sample_disk(state)
-        cand = contain(
+        cx, cy = contain_xy(
             camera,
-            (grid.astype(jnp.float32) + disk * radius[..., None]).astype(
-                jnp.int32
-            ),
+            (xs_f + disk[..., 0] * radius).astype(jnp.int32),
+            (ys_f + disk[..., 1] * radius).astype(jnp.int32),
         )
-        cx, cy = cand[..., 0], cand[..., 1]
-        same = (cx == grid[..., 0]) & (cy == grid[..., 1])
-        c_depth = surf.depth[cy, cx]
-        c_normal = surf.normal[cy, cx]
-        c_sky = ~surf.is_some[cy, cx]
+        same = (cx == xs) & (cy == ys)
+        c_depth, c_normal, c_some, c_m = gather.take_screen(
+            gates, gate_specs, cy, cx
+        )
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.33
-        gate_fail = c_sky | depth_bad | normal_bad
+        gate_fail = ~c_some | depth_bad | normal_bad
         shrink = ~done & ~same & gate_fail
         radius = jnp.where(shrink, jnp.maximum(radius * 0.5, 5.0), radius)
-        cand_nonempty = res.m[cy, cx] > 0.0
-        accept = ~done & ~same & ~gate_fail & cand_nonempty
+        accept = ~done & ~same & ~gate_fail & (c_m > 0.0)
         rhs_x = jnp.where(accept, cx, rhs_x)
         rhs_y = jnp.where(accept, cy, rhs_y)
         done = done | accept
 
     found = done & active & surf.is_some
-    rhs = res.gather(rhs_y, rhs_x)
+    rhs = gather.gather_tree(res, rhs_y, rhs_x)
     rhs = rsv.select(found, rhs, rsv.DiReservoirs.empty(shape))
     rhs_surf = _gather_surface(surf, rhs_y, rhs_x)
 

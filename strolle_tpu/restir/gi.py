@@ -24,8 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..camera import Camera, contain, screen_grid
-from ..ops import brdf, math as vm, rng
+from ..camera import Camera, contain_xy, screen_xy
+from ..ops import brdf, gather, math as vm, rng
 from ..ops.hit import Surface
 from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
 from ..ops.trace import trace_anyhit, trace_surface
@@ -84,7 +84,7 @@ class GiReservoirs:
         )
 
     def gather(self, y, x) -> "GiReservoirs":
-        return jax.tree.map(lambda a: a[y, x], self)
+        return gather.gather_tree(self, y, x)
 
 
 def select(mask, a: GiReservoirs, b: GiReservoirs) -> GiReservoirs:
@@ -214,19 +214,19 @@ def sample_jacobian(res: GiReservoirs, new_hit_point):
 # ---------------------------------------------------------------------------
 
 
-def got_checkerboard_at(grid, f):
+def got_checkerboard_at(xs, ys, f):
     """got_checkerboard_at(pos, f): x parity == (f + y) % 2."""
     f = jnp.asarray(f, jnp.int32)
-    return (grid[..., 0] % 2) == ((f + grid[..., 1]) % 2)
+    return (xs % 2) == ((f + ys) % 2)
 
 
-def gi_coverage(grid, frame):
+def gi_coverage(xs, ys, frame):
     """Pixels traced by gi_sampling this frame (gi_sampling_a.rs:27-33)."""
     frame = jnp.asarray(frame, jnp.int32)
     return jnp.where(
         is_gi_tracing(frame),
-        got_checkerboard_at(grid, frame // 2),
-        got_checkerboard_at(grid, frame),
+        got_checkerboard_at(xs, ys, frame // 2),
+        got_checkerboard_at(xs, ys, frame),
     )
 
 
@@ -241,9 +241,9 @@ def gi_reproject(
     """gi_reprojection.rs: gather the previous reservoir at the
     reprojected position; confidence := 1, v1 := current hit point."""
     shape = surf.depth.shape
-    rpos = reproj.prev_pos_round
-    rx = jnp.clip(rpos[..., 0], 0, camera.width - 1)
-    ry = jnp.clip(rpos[..., 1], 0, camera.height - 1)
+    rpx, rpy = reproj.prev_xy_round
+    rx = jnp.clip(rpx, 0, camera.width - 1)
+    ry = jnp.clip(rpy, 0, camera.height - 1)
     rep = gi_prev.gather(ry, rx)
     rep = select(reproj.is_some, rep, GiReservoirs.empty(shape))
     rep = rep.replace(
@@ -276,12 +276,12 @@ def gi_sampling(
     frames), then shade the secondary vertex with sky-vs-RIS light
     selection and one shadow ray. Covered pixels only; others empty."""
     shape = surf.depth.shape
-    grid = screen_grid(camera)
+    xs, ys = screen_xy(camera)
     tracing = is_gi_tracing(frame)
-    covered = gi_coverage(grid, frame)
+    covered = gi_coverage(xs, ys, frame)
 
     # --- part A: the bounce ray ---------------------------------------
-    state_a = rng.wnoise_new(seed_a, grid[..., 0], grid[..., 1])
+    state_a = rng.wnoise_new(seed_a, xs, ys)
     state_a, brdf_dir, brdf_pdf, _brdf_rad = brdf.layered_sample(
         state_a,
         surf.base_color,
@@ -302,7 +302,7 @@ def gi_sampling(
     gi_surf = trace_surface(scene, gi_origin, gi_dir, regularize=True)
 
     # --- part B: shade the secondary vertex ---------------------------
-    state_fresh = rng.wnoise_new(seed_b, grid[..., 0], grid[..., 1])
+    state_fresh = rng.wnoise_new(seed_b, xs, ys)
     state = jnp.where(tracing, state_fresh, rep.rng)
     rng0 = state  # stored in the sample for validation replay
 
@@ -429,15 +429,15 @@ def gi_temporal(
     """gi_temporal_resampling.rs: MIS merge on tracing frames;
     merge-only + sample validation on validation frames."""
     shape = surf.depth.shape
-    grid = screen_grid(camera)
-    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    xs, ys = screen_xy(camera)
+    state = rng.wnoise_new(seed, xs, ys)
     tracing = is_gi_tracing(frame)
     frame = jnp.asarray(frame, jnp.int32)
 
     got_sample = jnp.where(
         tracing,
-        ((frame % 2) == 0) & got_checkerboard_at(grid, frame // 2),
-        got_checkerboard_at(grid, frame),
+        ((frame % 2) == 0) & got_checkerboard_at(xs, ys, frame // 2),
+        got_checkerboard_at(xs, ys, frame),
     )
     lhs = select(got_sample, cand, GiReservoirs.empty(shape))
 
@@ -460,10 +460,10 @@ def gi_temporal(
     )
 
     # prev-frame surface at the reprojected position, for cross-pdfs
-    rpos = reproj.prev_pos_round
-    rx = jnp.clip(rpos[..., 0], 0, camera.width - 1)
-    ry = jnp.clip(rpos[..., 1], 0, camera.height - 1)
-    rhs_surf = jax.tree.map(lambda a: a[ry, rx], prev_surf)
+    rpx, rpy = reproj.prev_xy_round
+    rx = jnp.clip(rpx, 0, camera.width - 1)
+    ry = jnp.clip(rpy, 0, camera.height - 1)
+    rhs_surf = gather.gather_tree(prev_surf, ry, rx)
 
     # --- tracing path: pairwise MIS -----------------------------------
     lhs_rhs_pdf = jnp.where(
@@ -519,8 +519,8 @@ def gi_spatial(
     from .di import checkerboard_active
 
     shape = surf.depth.shape
-    grid = screen_grid(camera)
-    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    xs, ys = screen_xy(camera)
+    state = rng.wnoise_new(seed, xs, ys)
     active = checkerboard_active(camera, frame)
 
     lhs = res
@@ -531,27 +531,36 @@ def gi_spatial(
     rhs_jac = jnp.zeros(shape, jnp.float32)
     radius = jnp.full(shape, GI_SPATIAL_RADIUS, jnp.float32)
 
+    xs_f = xs.astype(jnp.float32)
+    ys_f = ys.astype(jnp.float32)
+    # pack the per-candidate fetches once; take flat per try
+    gates, gate_specs = gather.pack_screen(
+        surf.depth, surf.normal, surf.is_some,
+        res.m, res.v1_point, res.v2_point, res.v2_normal,
+    )
     for _ in range(GI_SPATIAL_SAMPLES):
         state, disk = rng.sample_disk(state)
-        cpos = contain(
+        cx, cy = contain_xy(
             camera,
-            (grid.astype(jnp.float32) + disk * radius[..., None]).astype(jnp.int32),
+            (xs_f + disk[..., 0] * radius).astype(jnp.int32),
+            (ys_f + disk[..., 1] * radius).astype(jnp.int32),
         )
-        cx, cy = cpos[..., 0], cpos[..., 1]
-        same = (cx == grid[..., 0]) & (cy == grid[..., 1])
-        c_sky = ~surf.is_some[cy, cx]
-        c_depth = surf.depth[cy, cx]
-        c_normal = surf.normal[cy, cx]
+        same = (cx == xs) & (cy == ys)
+        c_depth, c_normal, c_some, c_m, c_v1, c_v2, c_v2n = gather.take_screen(
+            gates, gate_specs, cy, cx
+        )
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.33
-        gate_fail = c_sky | depth_bad | normal_bad
+        gate_fail = ~c_some | depth_bad | normal_bad
         shrink = ~done & ~same & gate_fail
         radius = jnp.where(shrink, jnp.maximum(radius * 0.5, 5.0), radius)
 
-        cand = res.gather(cy, cx)
-        jac = sample_jacobian(cand, surf.point)
+        cand_geom = GiReservoirs.empty(shape).replace(
+            m=c_m, v1_point=c_v1, v2_point=c_v2, v2_normal=c_v2n
+        )
+        jac = sample_jacobian(cand_geom, surf.point)
         jac_ok = (jac >= 1.0 / GI_JACOBIAN_REJECT) & (jac <= GI_JACOBIAN_REJECT)
-        accept = ~done & ~same & ~gate_fail & (cand.m > 0.0) & jac_ok
+        accept = ~done & ~same & ~gate_fail & (c_m > 0.0) & jac_ok
         rhs_x = jnp.where(accept, cx, rhs_x)
         rhs_y = jnp.where(accept, cy, rhs_y)
         rhs_jac = jnp.where(
@@ -562,7 +571,7 @@ def gi_spatial(
     found = done & active & surf.is_some & ~lhs.is_empty
     rhs = res.gather(rhs_y, rhs_x)
     rhs = select(found, rhs, GiReservoirs.empty(shape))
-    rhs_surf = jax.tree.map(lambda a: a[rhs_y, rhs_x], surf)
+    rhs_surf = gather.gather_tree(surf, rhs_y, rhs_x)
 
     lhs_rhs_pdf = jnp.where(found, sample_pdf(lhs, rhs_surf), 0.0)
     rhs_lhs_pdf = jnp.where(found, sample_pdf(rhs, surf), 0.0)
@@ -618,8 +627,8 @@ def gi_preview(
     rays) with up to ``8 - m`` disk samples, depth gate 25%, normal gate
     0.5, Jacobian-weighted merges, norm_avg."""
     shape = surf.depth.shape
-    grid = screen_grid(camera)
-    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    xs, ys = screen_xy(camera)
+    state = rng.wnoise_new(seed, xs, ys)
 
     main = GiReservoirs.empty(shape)
     main_pdf = jnp.zeros(shape, jnp.float32)
@@ -631,24 +640,31 @@ def gi_preview(
         8.0 * (1.0 - jnp.clip(main.m / 8.0, 0.0, 1.0))
     ).astype(jnp.int32)
 
+    xs_f = xs.astype(jnp.float32)
+    ys_f = ys.astype(jnp.float32)
+    gates, gate_specs = gather.pack_screen(surf.depth, surf.normal, surf.is_some)
+    nb_leaves, nb_treedef = jax.tree.flatten(neighbors)
+    nb_flat, nb_specs = gather.pack_screen(*nb_leaves)
+
     stopped = jnp.zeros(shape, bool)
     for nth in range(8):
         state, disk = rng.sample_disk(state)
-        cpos = contain(
+        cx, cy = contain_xy(
             camera,
-            (grid.astype(jnp.float32) + disk * max_radius).astype(jnp.int32),
+            (xs_f + disk[..., 0] * max_radius).astype(jnp.int32),
+            (ys_f + disk[..., 1] * max_radius).astype(jnp.int32),
         )
-        cx, cy = cpos[..., 0], cpos[..., 1]
-        same = (cx == grid[..., 0]) & (cy == grid[..., 1])
+        same = (cx == xs) & (cy == ys)
         stopped = stopped | same  # reference bails out entirely here
         in_budget = nth < max_samples
-        c_sky = ~surf.is_some[cy, cx]
-        c_depth = surf.depth[cy, cx]
-        c_normal = surf.normal[cy, cx]
+        c_depth, c_normal, c_some = gather.take_screen(gates, gate_specs, cy, cx)
+        c_sky = ~c_some
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.25 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.5
 
-        cand = neighbors.gather(cy, cx)
+        cand = jax.tree.unflatten(
+            nb_treedef, gather.take_screen(nb_flat, nb_specs, cy, cx)
+        )
         cpdf = sample_pdf(cand, surf)
         jac = sample_jacobian(cand, surf.point)
         jac_ok = (jac >= 1.0 / GI_JACOBIAN_REJECT) & (jac <= GI_JACOBIAN_REJECT)

@@ -12,8 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..camera import Camera, screen_grid, pixel_rays, world_to_screen
-from ..ops import math as vm
+from ..camera import Camera, screen_grid, screen_xy, pixel_rays, world_to_screen_xy
+from ..ops import gather, math as vm
 from ..ops.hit import Surface
 from ..ops.trace import trace_surface
 from ..scene.types import Scene
@@ -22,9 +22,14 @@ from ..utils.pytree import pytree_dataclass
 
 @pytree_dataclass
 class Reprojection:
-    """Per-pixel reprojection record (reprojection.rs:6-55)."""
+    """Per-pixel reprojection record (reprojection.rs:6-55).
 
-    prev_pos: jnp.ndarray  # f32[H, W, 2]
+    prev x/y live in separate planes: index math over stacked [..., 2]
+    arrays draws T(1,128)-tiled TPU layouts (see ops/gather.py).
+    """
+
+    prev_x: jnp.ndarray  # f32[H, W]
+    prev_y: jnp.ndarray  # f32[H, W]
     confidence: jnp.ndarray  # f32[H, W]
     validity: jnp.ndarray  # i32[H, W] 4-bit bilinear-tap mask
 
@@ -33,13 +38,17 @@ class Reprojection:
         return self.confidence > 0.0
 
     @property
-    def prev_pos_round(self) -> jnp.ndarray:
-        return jnp.round(self.prev_pos).astype(jnp.int32)
+    def prev_xy_round(self):
+        return (
+            jnp.round(self.prev_x).astype(jnp.int32),
+            jnp.round(self.prev_y).astype(jnp.int32),
+        )
 
     @staticmethod
     def none(shape) -> "Reprojection":
         return Reprojection(
-            prev_pos=jnp.zeros(shape + (2,), jnp.float32),
+            prev_x=jnp.zeros(shape, jnp.float32),
+            prev_y=jnp.zeros(shape, jnp.float32),
             confidence=jnp.zeros(shape, jnp.float32),
             validity=jnp.zeros(shape, jnp.int32),
         )
@@ -57,12 +66,15 @@ def primary_pass(scene: Scene, camera: Camera, prev_camera: Camera):
     o, d = pixel_rays(camera, grid)
     surf = trace_surface(scene, o, d)
 
-    curr_screen = world_to_screen(camera, surf.point)
-    prev_screen = world_to_screen(prev_camera, surf.point)
-    velocity = curr_screen - prev_screen
-    small = vm.length_squared(velocity) < 0.001
-    velocity = jnp.where((small | ~surf.is_some)[..., None], 0.0, velocity)
-    return surf, velocity
+    curr_x, curr_y = world_to_screen_xy(camera, surf.point)
+    prev_x, prev_y = world_to_screen_xy(prev_camera, surf.point)
+    vel_x = curr_x - prev_x
+    vel_y = curr_y - prev_y
+    small = vel_x * vel_x + vel_y * vel_y < 0.001
+    kill = small | ~surf.is_some
+    vel_x = jnp.where(kill, 0.0, vel_x)
+    vel_y = jnp.where(kill, 0.0, vel_y)
+    return surf, (vel_x, vel_y)
 
 
 def surface_similarity(a_normal, a_depth, b_normal, b_depth):
@@ -76,52 +88,50 @@ def surface_similarity(a_normal, a_depth, b_normal, b_depth):
     return jnp.where(a_sky | b_sky, 0.0, normal_score * depth_score)
 
 
-def _gather_surface(normal, depth, pos, h, w):
-    """Clamped gather of (normal, depth) at integer coords pos [...,2]."""
-    x = jnp.clip(pos[..., 0], 0, w - 1)
-    y = jnp.clip(pos[..., 1], 0, h - 1)
-    return normal[y, x], depth[y, x]
-
-
 def build_reprojection_map(
     camera: Camera,
     surf: Surface,
     prev_surf: Surface,
-    velocity: jnp.ndarray,
+    velocity,  # (vel_x, vel_y) f32[H, W] planes
 ) -> Reprojection:
     """frame_reprojection.rs: prev pos = pos - velocity, confidence from
     surface similarity, per-tap validity bitmask for bilinear fetches."""
     h, w = camera.height, camera.width
-    grid = screen_grid(camera).astype(jnp.float32) + 0.0
-    prev_pos = grid - velocity
+    xs, ys = screen_xy(camera)
+    vel_x, vel_y = velocity
+    prev_px = xs.astype(jnp.float32) - vel_x
+    prev_py = ys.astype(jnp.float32) - vel_y
 
-    rounded = jnp.round(prev_pos).astype(jnp.int32)
-    in_bounds = (
-        (rounded[..., 0] >= 0)
-        & (rounded[..., 0] < w)
-        & (rounded[..., 1] >= 0)
-        & (rounded[..., 1] < h)
+    flat, specs = gather.pack_screen(prev_surf.normal, prev_surf.depth)
+
+    rx = jnp.round(prev_px).astype(jnp.int32)
+    ry = jnp.round(prev_py).astype(jnp.int32)
+    in_bounds = (rx >= 0) & (rx < w) & (ry >= 0) & (ry < h)
+    pn, pd = gather.take_screen(
+        flat, specs, jnp.clip(ry, 0, h - 1), jnp.clip(rx, 0, w - 1)
     )
-    pn, pd = _gather_surface(prev_surf.normal, prev_surf.depth, rounded, h, w)
     confidence = surface_similarity(pn, pd, surf.normal, surf.depth)
     confidence = jnp.where(in_bounds & (surf.depth > 0.0), confidence, 0.0)
 
     # validity bits for the 4 bilinear taps (floor/ceil combinations)
-    fx = jnp.floor(prev_pos[..., 0]).astype(jnp.int32)
-    fy = jnp.floor(prev_pos[..., 1]).astype(jnp.int32)
-    cx = jnp.ceil(prev_pos[..., 0]).astype(jnp.int32)
-    cy = jnp.ceil(prev_pos[..., 1]).astype(jnp.int32)
+    fx = jnp.floor(prev_px).astype(jnp.int32)
+    fy = jnp.floor(prev_py).astype(jnp.int32)
+    cx = jnp.ceil(prev_px).astype(jnp.int32)
+    cy = jnp.ceil(prev_py).astype(jnp.int32)
     validity = jnp.zeros((h, w), jnp.int32)
     for bit, (px, py) in enumerate(((fx, fy), (cx, fy), (fx, cy), (cx, cy))):
         inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-        tap = jnp.stack([px, py], axis=-1)
-        tn, td = _gather_surface(prev_surf.normal, prev_surf.depth, tap, h, w)
+        tn, td = gather.take_screen(
+            flat, specs, jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)
+        )
         ok = inb & (surface_similarity(tn, td, surf.normal, surf.depth) >= 0.25)
         validity = validity | jnp.where(ok, 1 << bit, 0)
     validity = jnp.where(confidence > 0.0, validity, 0)
 
+    some = confidence > 0.0
     return Reprojection(
-        prev_pos=jnp.where(confidence[..., None] > 0.0, prev_pos, 0.0),
+        prev_x=jnp.where(some, prev_px, 0.0),
+        prev_y=jnp.where(some, prev_py, 0.0),
         confidence=confidence,
         validity=validity,
     )
@@ -132,11 +142,13 @@ def bilinear_reproject(reproj: Reprojection, values: jnp.ndarray) -> jnp.ndarray
     [H, W, C] at reprojected coordinates (bilinear_filter.rs:28-107).
     Weights are the validity bits; returns zeros where no valid tap."""
     h, w = values.shape[0], values.shape[1]
-    px, py = reproj.prev_pos[..., 0], reproj.prev_pos[..., 1]
+    px, py = reproj.prev_x, reproj.prev_y
     fx = jnp.floor(px)
     fy = jnp.floor(py)
     ux = px - fx
     uy = py - fy
+
+    flat, specs = gather.pack_screen(values)
 
     taps = []
     weights = []
@@ -150,7 +162,8 @@ def bilinear_reproject(reproj: Reprojection, values: jnp.ndarray) -> jnp.ndarray
         xi = jnp.clip(tx.astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(ty.astype(jnp.int32), 0, h - 1)
         valid = ((reproj.validity >> bit) & 1) > 0
-        taps.append(values[yi, xi])
+        (tap,) = gather.take_screen(flat, specs, yi, xi)
+        taps.append(tap)
         weights.append(jnp.where(valid, wgt, 0.0))
 
     wsum = sum(weights)

@@ -98,9 +98,14 @@ class MeshBuilder:
         n = len(self.positions)
         assert n > 0, "empty geometry"
         return Geometry(
-            positions=jnp.asarray(np.stack(self.positions)),
-            normals=jnp.asarray(np.stack(self.normals)),
-            uvs=jnp.asarray(np.stack(self.uvs)),
-            tangents=jnp.asarray(np.stack(self.tangents)),
-            material_id=jnp.asarray(np.asarray(self.material_ids, np.int32)),
+            # Host numpy on purpose: jit transfers h2d on first call.
+            # An eager d2h readback anywhere before benchmarking flips
+            # the TPU runtime into a synchronous mode where every
+            # gather costs ~4 ms (see ops/gather.py); building scenes
+            # host-side keeps construction transfer-free.
+            positions=np.stack(self.positions),
+            normals=np.stack(self.normals),
+            uvs=np.stack(self.uvs),
+            tangents=np.stack(self.tangents),
+            material_id=np.asarray(self.material_ids, np.int32),
         )

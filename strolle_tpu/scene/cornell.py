@@ -151,8 +151,8 @@ def _finish(
         materials=materials,
         lights=lights,
         atlas=None,
-        sun_azimuth=jnp.asarray(0.0, jnp.float32),
-        sun_altitude=jnp.asarray(-1.0, jnp.float32),  # sun below horizon
+        sun_azimuth=np.float32(0.0),
+        sun_altitude=np.float32(-1.0),  # sun below horizon
         bvh=None,
         **compute_static_flags(geometry, materials),
     )

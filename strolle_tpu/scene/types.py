@@ -161,8 +161,7 @@ def make_materials(records: list[dict]) -> Materials:
             out.append(v)
         while len(out) < n:
             out.append(default)
-        a = np.asarray(out, np.float32)
-        return jnp.asarray(a)
+        return np.asarray(out, np.float32)
 
     zeros4 = [0.0, 0.0, 0.0, 0.0]
     return Materials(
@@ -176,7 +175,7 @@ def make_materials(records: list[dict]) -> Materials:
         ior=arr("ior", 1.47),
         metallic_roughness_tex=arr("metallic_roughness_tex", zeros4),
         normal_map_tex=arr("normal_map_tex", zeros4),
-        alpha_blend=jnp.asarray(
+        alpha_blend=np.asarray(
             [int(r.get("alpha_blend", 0)) for r in records]
             + [0] * (n - len(records)),
             jnp.int32,
@@ -196,7 +195,7 @@ def make_lights(records: list[dict], capacity: int | None = None) -> Lights:
             out.append(
                 default if not isinstance(default, list) else [0.0] * len(default)
             )
-        return jnp.asarray(np.asarray(out, np.float32))
+        return np.asarray(out, np.float32)
 
     kind = [int(r.get("kind", LIGHT_POINT)) for r in records]
     kind += [LIGHT_NONE] * (cap - count)
@@ -205,19 +204,19 @@ def make_lights(records: list[dict], capacity: int | None = None) -> Lights:
         radius=arr("radius", 0.1),
         color=arr("color", [1.0, 1.0, 1.0]),
         range=arr("range", np.inf),
-        kind=jnp.asarray(kind, jnp.int32),
+        kind=np.asarray(kind, np.int32),
         spot_dir=arr("spot_dir", [0.0, -1.0, 0.0]),
         spot_angle=arr("spot_angle", 0.0),
         prev_pos=arr("pos", [0.0, 0.0, 0.0]),
         prev_radius=arr("radius", 0.1),
         prev_color=arr("color", [1.0, 1.0, 1.0]),
         prev_range=arr("range", np.inf),
-        prev_kind=jnp.asarray(kind, jnp.int32),
+        prev_kind=np.asarray(kind, np.int32),
         prev_spot_dir=arr("spot_dir", [0.0, -1.0, 0.0]),
         prev_spot_angle=arr("spot_angle", 0.0),
-        remap=jnp.full((cap,), -1, jnp.int32),
-        killed=jnp.zeros((cap,), jnp.int32),
-        count=jnp.asarray(count, jnp.int32),
+        remap=np.full((cap,), -1, np.int32),
+        killed=np.zeros((cap,), np.int32),
+        count=np.asarray(count, np.int32),
     )
     return lights
 

@@ -65,12 +65,13 @@ def test_gi_frame_cycle():
 def test_gi_coverage_half_resolution():
     cam = cornell_camera(16, 16)
     grid = screen_grid(cam)
+    xs, ys = grid[..., 0], grid[..., 1]
     for frame in range(8):
-        cov = np.asarray(gi_coverage(grid, frame))
+        cov = np.asarray(gi_coverage(xs, ys, frame))
         assert cov.mean() == 0.5  # exactly half the pixels
     # consecutive tracing frame pairs (frame//2 key) cover all pixels
-    c0 = np.asarray(gi_coverage(grid, 0))
-    c2 = np.asarray(gi_coverage(grid, 2))
+    c0 = np.asarray(gi_coverage(xs, ys, 0))
+    c2 = np.asarray(gi_coverage(xs, ys, 2))
     assert (c0 | c2).all()
 
 
