@@ -77,14 +77,24 @@ def _sample_weight(
 
 
 def _shift(arr, dy, dx):
-    """Shift with edge clamp replaced by zero-fill + valid mask."""
+    """shifted[y, x] = arr[clamp(y + dy), clamp(x + dx)] plus the
+    in-bounds mask. Expressed as an edge pad + static slice: index-array
+    gathers here (arr[ys][:, xs]) lower to the slow scalar-core gather
+    path when fused into the filter arithmetic, while pad+slice stays a
+    layout-native copy the fusion absorbs."""
     h, w = arr.shape[0], arr.shape[1]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    shifted = arr[ys][:, xs]
-    valid_y = (jnp.arange(h) + dy >= 0) & (jnp.arange(h) + dy < h)
-    valid_x = (jnp.arange(w) + dx >= 0) & (jnp.arange(w) + dx < w)
-    valid = valid_y[:, None] & valid_x[None, :]
+    py0, py1 = max(-dy, 0), max(dy, 0)
+    px0, px1 = max(-dx, 0), max(dx, 0)
+    pad = ((py0, py1), (px0, px1)) + ((0, 0),) * (arr.ndim - 2)
+    padded = jnp.pad(arr, pad, mode="edge")
+    shifted = jax.lax.slice(
+        padded,
+        (py0 + dy, px0 + dx) + (0,) * (arr.ndim - 2),
+        (py0 + dy + h, px0 + dx + w) + padded.shape[2:],
+    )
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (yy + dy >= 0) & (yy + dy < h) & (xx + dx >= 0) & (xx + dx < w)
     return shifted, valid
 
 
