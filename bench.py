@@ -55,6 +55,19 @@ def main() -> None:
     ms_per_frame = dt / FRAMES * 1e3
     mrays = rays_per_frame(WIDTH, HEIGHT, DEPTH) * FRAMES / dt / 1e6
 
+    # real-time pipeline (ReSTIR DI+GI + SVGF), steady-state ms/frame
+    from strolle_tpu.models.restir import RenderConfig, init_state, render_frame
+
+    cfg = RenderConfig()
+    state = init_state(camera)
+    ch, state = render_frame(scene, camera, state, jnp.uint32(0), cfg)
+    ch["image"].block_until_ready()
+    t0 = time.perf_counter()
+    for f in range(20):
+        ch, state = render_frame(scene, camera, state, jnp.uint32(f + 1), cfg)
+    ch["image"].block_until_ready()
+    restir_ms = (time.perf_counter() - t0) / 20 * 1e3
+
     prev = None
     for path in sorted(
         glob.glob("BENCH_r*.json"),
@@ -71,7 +84,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"reference-mode Mrays/s/chip @{WIDTH}x{HEIGHT} d{DEPTH} ({ms_per_frame:.1f} ms/frame)",
+                "metric": (
+                    f"reference-mode Mrays/s/chip @{WIDTH}x{HEIGHT} d{DEPTH} "
+                    f"({ms_per_frame:.1f} ms/frame; realtime ReSTIR+SVGF "
+                    f"pipeline {restir_ms:.2f} ms/frame)"
+                ),
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / prev, 3) if prev else 1.0,

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera import Camera, pixel_rays, screen_grid
 from ..scene.types import Scene
@@ -21,24 +22,28 @@ from ..scene.types import Scene
 #: Gradient saturation point (bvh_heatmap.rs:46).
 HEATMAP_SCALE = 8192.0
 
-_STOPS = jnp.asarray(
+# numpy on purpose: module-level jnp arrays are device buffers, and
+# closure-capturing one inside a jitted program hangs/degrades the
+# process on the axon TPU runtime (see sky/atmosphere.py constants).
+_STOPS = np.asarray(
     [
         [0.0, 0.0, 1.0],
         [0.0, 1.0, 0.0],
         [1.0, 0.0, 0.0],
         [0.0, 0.0, 0.0],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
 def heatmap_gradient(progress: jnp.ndarray) -> jnp.ndarray:
     """4-stop linear gradient (bvh_heatmap.rs:54-72), progress in [0,1]."""
-    n = _STOPS.shape[0]
+    stops = jnp.asarray(_STOPS)
+    n = stops.shape[0]
     x = jnp.clip(progress, 0.0, 1.0) * (n - 1)
     i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
     f = (x - i.astype(jnp.float32))[..., None]
-    return _STOPS[i] * (1.0 - f) + _STOPS[i + 1] * f
+    return stops[i] * (1.0 - f) + stops[i + 1] * f
 
 
 def trace_cost(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:

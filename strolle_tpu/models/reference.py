@@ -197,7 +197,6 @@ def trace_sample(
     )
 
 
-@partial(jax.jit, static_argnames=("depth", "include_sky"))
 def render_reference(
     scene: Scene,
     camera: Camera,
@@ -207,7 +206,34 @@ def render_reference(
     include_sky: bool = True,
     luts=None,
 ):
-    """Accumulating reference render. Returns (image [H,W,3], accum')."""
+    """Accumulating reference render. Returns (image [H,W,3], accum').
+
+    When the sky is on and no LUTs are supplied, they are fetched from
+    the sun-altitude-keyed host cache (sky/atmosphere.luts_for): the
+    analytic per-pixel march would otherwise be inlined once per
+    bounce, bloating the executable ~100x and permanently degrading
+    every later dispatch in the process on the TPU runtime."""
+    if include_sky and luts is None:
+        alt = scene.sun_altitude
+        if not isinstance(alt, jax.core.Tracer):
+            from ..sky.atmosphere import luts_for
+
+            luts = luts_for(float(alt))
+    return _render_reference(
+        scene, camera, accum, seed, depth, include_sky, luts
+    )
+
+
+@partial(jax.jit, static_argnames=("depth", "include_sky"))
+def _render_reference(
+    scene: Scene,
+    camera: Camera,
+    accum: RefAccumulator,
+    seed: jnp.ndarray,
+    depth: int = 5,
+    include_sky: bool = True,
+    luts=None,
+):
     sample = trace_sample(scene, camera, seed, depth, include_sky, luts=luts)
     keep = jnp.all(
         jnp.abs(accum.projection_view - camera.projection_view) <= 0.0025

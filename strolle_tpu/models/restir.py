@@ -109,7 +109,6 @@ def derive_seed(seed, k: int):
     return s
 
 
-@partial(jax.jit, static_argnames=("config",))
 def render_frame(
     scene: Scene,
     camera: Camera,
@@ -121,19 +120,101 @@ def render_frame(
     """Renders one frame; returns (channels dict, new state).
 
     ``luts``: optional AtmosphereLuts (sky/atmosphere.luts_for) — used
-    for miss-pixel radiance and GI sky sampling when include_sky."""
-    h, w = camera.height, camera.width
+    for miss-pixel radiance and GI sky sampling. When omitted they are
+    fetched from the sun-altitude-keyed host cache, mirroring the
+    reference's LUT regeneration policy (passes/atmosphere.rs:76-112).
+    Evaluating the atmosphere analytically per pixel instead is never
+    acceptable inside the frame program: the inlined 16x8-step march
+    inflates the executable ~100x, and one dispatch of such a program
+    degrades EVERY subsequent dispatch in the process on the TPU
+    runtime (tiny jitted ops go 0.1 -> 25 ms, irreversibly).
+
+    The frame is dispatched as a handful of per-stage jitted programs
+    (prelude / DI / GI / SVGF x2 / composition) rather than one fused
+    program — mirroring the reference's 18 separate passes
+    (camera_controller.rs:87-174). This is a measured TPU-compiler
+    necessity, not cosmetics: past ~a few hundred fusions per program,
+    XLA stops staging gather operands into scoped memory and every
+    screen-space take lowers to a ~14 ms scalar-core HBM loop (the
+    monolithic frame ran 4100 ms and took 459 s to compile; the same
+    math as stage programs runs at a few ms total). Stage boundaries
+    are plain HBM arrays; dispatch overhead is ~0.1 ms per stage."""
+    if luts is None:
+        alt = scene.sun_altitude
+        if not isinstance(alt, jax.core.Tracer):
+            from ..sky.atmosphere import luts_for
+
+            luts = luts_for(float(alt))
+
     frame = state.frame
-    grid = screen_grid(camera)
+    surf, reproj, sky, bn_first, bn_second = _stage_prelude(
+        scene, camera, state.prev_camera, state.prev_surface, frame, luts,
+        config.include_sky,
+    )
 
-    surf, velocity = primary_pass(scene, camera, state.prev_camera)
-    reproj = build_reprojection_map(camera, surf, state.prev_surface, velocity)
+    h, w = camera.height, camera.width
+    zeros4 = jnp.zeros((h, w, 4), jnp.float32)
+    di_diff, di_spec = zeros4, zeros4
+    gi_diff, gi_spec = zeros4, zeros4
+    di_prev = state.di_prev
+    gi_prev = state.gi_prev
 
-    sun = sun_direction(scene.sun_azimuth, scene.sun_altitude)
-    if config.include_sky:
+    if config.needs_di:
+        di_diff, di_spec, di_prev = _stage_di(
+            scene, camera, surf, state.prev_surface, reproj,
+            state.di_prev, seed, frame, bn_first, sky,
+        )
+    if config.needs_gi:
+        gi_diff, gi_spec, gi_prev = _stage_gi(
+            scene, camera, surf, state.prev_surface, reproj,
+            state.gi_prev, seed, frame, bn_second, luts,
+        )
+
+    # --- denoising (SVGF on the diffuse channels; spec is not denoised,
+    # README.md:40) -----------------------------------------------------
+    di_den = state.di_diff_denoiser
+    gi_den = state.gi_diff_denoiser
+    if config.denoise and config.needs_di:
+        di_diff_rgb, di_den = _stage_denoise(
+            di_diff, surf, reproj, state.di_diff_denoiser, frame, "di"
+        )
+    else:
+        di_diff_rgb = di_diff[..., :3]
+    if config.denoise and config.needs_gi:
+        gi_diff_rgb, gi_den = _stage_denoise(
+            gi_diff, surf, reproj, state.gi_diff_denoiser, frame, "gi"
+        )
+    else:
+        gi_diff_rgb = gi_diff[..., :3]
+
+    channels = _stage_compose(surf, di_diff_rgb, gi_diff_rgb, di_spec, gi_spec)
+
+    new_state = RenderState(
+        frame=frame + 1,
+        prev_camera=camera,
+        prev_surface=surf,
+        di_prev=di_prev,
+        gi_prev=gi_prev,
+        di_diff_denoiser=di_den,
+        gi_diff_denoiser=gi_den,
+    )
+    return channels, new_state
+
+
+@partial(jax.jit, static_argnames=("include_sky",))
+def _stage_prelude(
+    scene, camera, prev_camera, prev_surface, frame, luts, include_sky
+):
+    """G-buffer + reprojection map + miss-pixel sky + blue noise."""
+    h, w = camera.height, camera.width
+    surf, velocity = primary_pass(scene, camera, prev_camera)
+    reproj = build_reprojection_map(camera, surf, prev_surface, velocity)
+
+    if include_sky:
         from ..camera import pixel_rays
 
-        _, prim_d = pixel_rays(camera, grid)
+        sun = sun_direction(scene.sun_azimuth, scene.sun_altitude)
+        _, prim_d = pixel_rays(camera, screen_grid(camera))
         if luts is not None:
             from ..sky.atmosphere import sample_atmosphere
 
@@ -148,66 +229,43 @@ def render_frame(
     bn1x, bn1y, bn2x, bn2y = bluenoise.sample_pair_screen(h, w, frame)
     bn_first = jnp.stack([bn1x, bn1y], axis=-1)
     bn_second = jnp.stack([bn2x, bn2y], axis=-1)
+    return surf, reproj, sky, bn_first, bn_second
 
-    zeros4 = jnp.zeros((h, w, 4), jnp.float32)
-    di_diff, di_spec = zeros4, zeros4
-    gi_diff, gi_spec = zeros4, zeros4
-    di_prev = state.di_prev
-    gi_prev = state.gi_prev
 
-    if config.needs_di:
-        a = di_mod.di_sampling(
-            scene, camera, surf, derive_seed(seed, 0), bn_first
-        )
-        b = di_mod.di_temporal(
-            scene,
-            camera,
-            surf,
-            state.prev_surface,
-            reproj,
-            a,
-            state.di_prev,
-            derive_seed(seed, 1),
-        )
-        c = di_mod.di_spatial(
-            scene, camera, surf, b, derive_seed(seed, 2), frame
-        )
-        di_diff, di_spec, di_prev = di_mod.di_resolving(
-            scene, camera, surf, c, sky
-        )
+@jax.jit
+def _stage_di(
+    scene, camera, surf, prev_surface, reproj, di_prev, seed, frame,
+    bn_first, sky,
+):
+    """The four DI passes as one program (measured ~1 ms at 800x608)."""
+    a = di_mod.di_sampling(scene, camera, surf, derive_seed(seed, 0), bn_first)
+    b = di_mod.di_temporal(
+        scene, camera, surf, prev_surface, reproj, a, di_prev,
+        derive_seed(seed, 1),
+    )
+    c = di_mod.di_spatial(scene, camera, surf, b, derive_seed(seed, 2), frame)
+    return di_mod.di_resolving(scene, camera, surf, c, sky)
 
-    if config.needs_gi:
-        gi_diff, gi_spec, gi_prev = gi_mod.gi_pipeline(
-            scene,
-            camera,
-            surf,
-            state.prev_surface,
-            reproj,
-            state.gi_prev,
-            seed,
-            frame,
-            bn_second,
-            luts if config.include_sky else None,
-        )
 
-    # --- denoising (SVGF on the diffuse channels; spec is not denoised,
-    # README.md:40) -----------------------------------------------------
-    di_den = state.di_diff_denoiser
-    gi_den = state.gi_diff_denoiser
-    if config.denoise and config.needs_di:
-        di_diff_rgb, di_den = denoise_channel(
-            di_diff, surf, reproj, state.di_diff_denoiser, frame, kind="di"
-        )
-    else:
-        di_diff_rgb = di_diff[..., :3]
-    if config.denoise and config.needs_gi:
-        gi_diff_rgb, gi_den = denoise_channel(
-            gi_diff, surf, reproj, state.gi_diff_denoiser, frame, kind="gi"
-        )
-    else:
-        gi_diff_rgb = gi_diff[..., :3]
+@jax.jit
+def _stage_gi(
+    scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
+    bn_second, luts,
+):
+    return gi_mod.gi_pipeline(
+        scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
+        bn_second, luts,
+    )
 
-    # --- composition (frame_composition.rs:38-79) ----------------------
+
+@partial(jax.jit, static_argnames=("kind",))
+def _stage_denoise(samples, surf, reproj, den_state, frame, kind):
+    return denoise_channel(samples, surf, reproj, den_state, frame, kind=kind)
+
+
+@jax.jit
+def _stage_compose(surf, di_diff_rgb, gi_diff_rgb, di_spec, gi_spec):
+    """frame_composition.rs:38-79."""
     albedo = surf.base_color[..., :3]
     image = jnp.where(
         surf.is_some[..., None],
@@ -217,8 +275,7 @@ def render_frame(
         + gi_spec[..., :3],
         di_diff_rgb,
     )
-
-    channels = {
+    return {
         "image": image,
         "di_diffuse": di_diff_rgb,
         "di_specular": di_spec[..., :3],
@@ -227,14 +284,3 @@ def render_frame(
         "albedo": albedo,
         "depth": surf.depth,
     }
-
-    new_state = RenderState(
-        frame=frame + 1,
-        prev_camera=camera,
-        prev_surface=surf,
-        di_prev=di_prev,
-        gi_prev=gi_prev,
-        di_diff_denoiser=di_den,
-        gi_diff_denoiser=gi_den,
-    )
-    return channels, new_state
