@@ -107,3 +107,32 @@ def test_scene_stats():
         assert s["bvh_nodes"] > 0
     finally:
         metrics._STATS = False
+
+
+def test_no_module_level_device_array_constants():
+    """Module-level jnp arrays are committed device buffers; a jitted
+    program that closure-captures one hangs or permanently degrades
+    every subsequent dispatch in the process on the axon TPU runtime
+    (measured: a trivial jitted add goes 0.1 -> 25 ms, irreversibly).
+    Constants must be numpy; device data must be jit ARGUMENTS."""
+    import importlib
+    import pkgutil
+
+    import jax
+
+    import strolle_tpu
+
+    offenders = []
+    for mod_info in pkgutil.walk_packages(
+        strolle_tpu.__path__, prefix="strolle_tpu."
+    ):
+        try:
+            mod = importlib.import_module(mod_info.name)
+        except Exception:
+            continue
+        for name, val in vars(mod).items():
+            if isinstance(val, jax.Array):
+                offenders.append(f"{mod_info.name}.{name}")
+    assert not offenders, (
+        "module-level device arrays (poison hazard): " + ", ".join(offenders)
+    )
