@@ -212,7 +212,13 @@ def render_reference(
     the sun-altitude-keyed host cache (sky/atmosphere.luts_for): the
     analytic per-pixel march would otherwise be inlined once per
     bounce, bloating the executable ~100x and permanently degrading
-    every later dispatch in the process on the TPU runtime."""
+    every later dispatch in the process on the TPU runtime.
+
+    Behavior change vs round 1: include_sky=True with luts=None now
+    renders with the cached-LUT sky rather than the analytic march
+    (matches upstream's LUT policy, passes/atmosphere.rs:76-112);
+    ground-truth output shifted accordingly — regenerate stored
+    reference images."""
     if include_sky and luts is None:
         alt = scene.sun_altitude
         if not isinstance(alt, jax.core.Tracer):

@@ -77,6 +77,7 @@ def _empty_surface(h: int, w: int) -> Surface:
         dir=z3,
         normal=z3,
         uv=jnp.zeros((h, w, 2), jnp.float32),
+        tri=jnp.full((h, w), -1, jnp.int32),
         material_id=jnp.zeros((h, w), jnp.int32),
         base_color=jnp.zeros((h, w, 4), jnp.float32),
         emissive=z3,
@@ -138,13 +139,29 @@ def render_frame(
     screen-space take lowers to a ~14 ms scalar-core HBM loop (the
     monolithic frame ran 4100 ms and took 459 s to compile; the same
     math as stage programs runs at a few ms total). Stage boundaries
-    are plain HBM arrays; dispatch overhead is ~0.1 ms per stage."""
-    if luts is None:
+    are plain HBM arrays; dispatch overhead is ~0.1 ms per stage.
+
+    Note (round 1 -> 2 behavior change): the GI pipeline now always
+    receives LUTs when the sky is needed — `include_sky=False` no
+    longer selects the analytic GI sky path, so default-config GI
+    radiance shifted numerically vs round 1 (this matches upstream's
+    LUT policy; regenerate any golden images)."""
+    if luts is None and (config.include_sky or config.needs_gi):
         alt = scene.sun_altitude
         if not isinstance(alt, jax.core.Tracer):
             from ..sky.atmosphere import luts_for
 
             luts = luts_for(float(alt))
+        else:
+            import warnings
+
+            warnings.warn(
+                "render_frame traced with a Tracer sun_altitude and no "
+                "luts: the analytic sky march would be inlined into the "
+                "frame program (program-bloat / dispatch-poisoning "
+                "hazard). Pass luts=luts_for(alt) explicitly.",
+                stacklevel=2,
+            )
 
     frame = state.frame
     surf, reproj, sky, bn_first, bn_second = _stage_prelude(

@@ -41,6 +41,7 @@ class Surface:
     dir: jnp.ndarray  # f32[..., 3]  incoming ray direction
     normal: jnp.ndarray  # f32[..., 3]
     uv: jnp.ndarray  # f32[..., 2]
+    tri: jnp.ndarray  # i32[...]  winning triangle id (-1 on miss)
     material_id: jnp.ndarray  # i32[...]
     base_color: jnp.ndarray  # f32[..., 4]
     emissive: jnp.ndarray  # f32[..., 3]
@@ -93,7 +94,20 @@ def surface_at(
         scene, mats.emissive[mat_id], mats.emissive_tex[mat_id], uv
     )[..., :3]
 
-    roughness = mats.roughness[mat_id]
+    # metallic-roughness texture (material.rs:44-58): multiplier vector
+    # is [1, roughness, metallic, 1]; texel G scales roughness, B scales
+    # metallic (glTF layout), .zy() -> (metallic, roughness).
+    rough_f = mats.roughness[mat_id]
+    metal_f = mats.metallic[mat_id]
+    mr_mult = jnp.stack(
+        [jnp.ones_like(rough_f), rough_f, metal_f, jnp.ones_like(rough_f)],
+        axis=-1,
+    )
+    mr = sample_material_channel(
+        scene, mr_mult, mats.metallic_roughness_tex[mat_id], uv
+    )
+    roughness = mr[..., 1]
+    metallic = mr[..., 2]
     if regularize:
         roughness = jnp.maximum(roughness, 0.75 * 0.75)
 
@@ -108,10 +122,11 @@ def surface_at(
         dir=d,
         normal=z(normal),
         uv=z(uv),
+        tri=jnp.where(some, hit.tri, -1),
         material_id=jnp.where(some, mat_id, 0),
         base_color=z(base_color),
         emissive=z(emissive),
-        metallic=z(mats.metallic[mat_id]),
+        metallic=z(metallic),
         roughness=z(roughness),
         reflectance=z(mats.reflectance[mat_id]),
         depth=jnp.where(some, hit.t, 0.0),

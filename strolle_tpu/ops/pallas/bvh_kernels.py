@@ -83,6 +83,7 @@ def _aabb_hit(bmin, bmax, ox, oy, oz, idx, idy, idz, tmax):
 def _leaf_intersect(
     tri_ref, first, count, ox, oy, oz, dx, dy, dz,
     bt_ref, nx_ref, ny_ref, nz_ref, ux_ref, uy_ref, mat_ref, hit_ref,
+    id_ref,
 ):
     """Masked loop over one leaf's triangles, updating the best-hit
     scratch state with eagerly interpolated attributes."""
@@ -116,6 +117,11 @@ def _leaf_intersect(
                 better, w * row[19] + u * row[21] + v * row[23], uy_ref[:]
             )
             mat_ref[:] = jnp.where(better, row[24], mat_ref[:])
+            # row index = triangle id (builder reorders geometry into
+            # BVH order); exact in f32 up to 2^24 triangles
+            id_ref[:] = jnp.where(
+                better, (first + j).astype(jnp.float32), id_ref[:]
+            )
 
         return 0
 
@@ -125,9 +131,9 @@ def _leaf_intersect(
 def _bvh_surface_kernel(
     node_ref, tri_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    t_out, n_x, n_y, n_z, uv_x, uv_y, mat_out, hit_out,
+    t_out, n_x, n_y, n_z, uv_x, uv_y, mat_out, hit_out, id_out,
     stack_ref, bt_ref, nx_ref, ny_ref, nz_ref, ux_ref, uy_ref, mat_ref,
-    hit_ref,
+    hit_ref, id_ref,
 ):
     shape = (BVH_SUBLANES, LANES)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -146,6 +152,7 @@ def _bvh_surface_kernel(
     ux_ref[:] = jnp.zeros(shape, jnp.float32)
     uy_ref[:] = jnp.zeros(shape, jnp.float32)
     mat_ref[:] = jnp.zeros(shape, jnp.float32)
+    id_ref[:] = jnp.full(shape, -1.0, jnp.float32)
 
     stack_ref[0] = 0  # root
 
@@ -180,7 +187,7 @@ def _bvh_surface_kernel(
             _leaf_intersect(
                 tri_ref, -(c0 + 1), cnt0, ox, oy, oz, dx, dy, dz,
                 bt_ref, nx_ref, ny_ref, nz_ref, ux_ref, uy_ref, mat_ref,
-                hit_ref,
+                hit_ref, id_ref,
             )
 
         @pl.when(any1 & leaf1)
@@ -188,7 +195,7 @@ def _bvh_surface_kernel(
             _leaf_intersect(
                 tri_ref, -(c1 + 1), cnt1, ox, oy, oz, dx, dy, dz,
                 bt_ref, nx_ref, ny_ref, nz_ref, ux_ref, uy_ref, mat_ref,
-                hit_ref,
+                hit_ref, id_ref,
             )
 
         # interior pushes: far child first so the near one pops first
@@ -228,6 +235,7 @@ def _bvh_surface_kernel(
     uv_x[:] = ux_ref[:]
     uv_y[:] = uy_ref[:]
     mat_out[:] = mat_ref[:]
+    id_out[:] = id_ref[:]
 
 
 def _bvh_anyhit_kernel(
@@ -346,7 +354,8 @@ def _tile(o, d, extra=None):
 def bvh_trace_surface_pallas(node_rows, geom_rows, o, d, interpret=False):
     """Packet-BVH closest hit with in-kernel attribute resolve.
 
-    Returns dict: t, hit (bool), normal [..,3], uv [..,2], mat_id."""
+    Returns dict: t, hit (bool), normal [..,3], uv [..,2], mat_id,
+    tri (i32, -1 on miss)."""
     batch, r, g, comps = _tile(o, d)
     shape = (g * BVH_SUBLANES, LANES)
     spec = pl.BlockSpec(
@@ -357,7 +366,7 @@ def bvh_trace_surface_pallas(node_rows, geom_rows, o, d, interpret=False):
     grid_spec = pl.GridSpec(
         grid=(g,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + [spec] * 6,
-        out_specs=[spec] * 8,
+        out_specs=[spec] * 9,
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
             pltpu.VMEM((BVH_SUBLANES, LANES), jnp.float32),  # bt
@@ -368,27 +377,30 @@ def bvh_trace_surface_pallas(node_rows, geom_rows, o, d, interpret=False):
             pltpu.VMEM((BVH_SUBLANES, LANES), jnp.float32),  # uy
             pltpu.VMEM((BVH_SUBLANES, LANES), jnp.float32),  # mat
             pltpu.VMEM((BVH_SUBLANES, LANES), jnp.int32),  # hit
+            pltpu.VMEM((BVH_SUBLANES, LANES), jnp.float32),  # tri id
         ],
     )
     outs = pl.pallas_call(
         _bvh_surface_kernel,
-        out_shape=(f32, f32, f32, f32, f32, f32, f32, i32),
+        out_shape=(f32, f32, f32, f32, f32, f32, f32, i32, f32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(node_rows, geom_rows, *comps)
-    t, nx, ny, nz, ux, uy, mat, hit = outs
+    t, nx, ny, nz, ux, uy, mat, hit, tri = outs
 
     def unpack(a):
         return a.reshape(-1)[:r].reshape(batch)
 
     from .trace_kernels import _reshape_i32
 
+    hit_b = _reshape_i32(hit, r, batch) > 0
     return {
         "t": unpack(t),
-        "hit": _reshape_i32(hit, r, batch) > 0,
+        "hit": hit_b,
         "normal": jnp.stack([unpack(nx), unpack(ny), unpack(nz)], axis=-1),
         "uv": jnp.stack([unpack(ux), unpack(uy)], axis=-1),
         "mat_id": unpack(mat).astype(jnp.int32),
+        "tri": jnp.where(hit_b, unpack(tri).astype(jnp.int32), -1),
     }
 
 

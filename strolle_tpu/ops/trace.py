@@ -167,9 +167,10 @@ def _trace_anyhit_pallas(scene: Scene, o, d, t_max):
 
 
 def _material_table(scene: Scene) -> jnp.ndarray:
-    """[M, 20] rows: base_color(4) emissive(3) metallic roughness
-    reflectance pad(2) base_color_tex(4) emissive_tex(4) — one one-hot
-    matmul fetches a full material."""
+    """[M, 24] rows: base_color(4) emissive(3) metallic roughness
+    reflectance pad(2) base_color_tex(4) emissive_tex(4)
+    metallic_roughness_tex(4) — one one-hot matmul fetches a full
+    material."""
     m = scene.materials
     return jnp.concatenate(
         [
@@ -181,6 +182,7 @@ def _material_table(scene: Scene) -> jnp.ndarray:
             jnp.zeros((m.num_materials, 2), jnp.float32),
             m.base_color_tex,
             m.emissive_tex,
+            m.metallic_roughness_tex,
         ],
         axis=-1,
     )
@@ -236,6 +238,7 @@ def trace_surface(
     t = jnp.where(some, out["t"], 0.0)
     normal = out["normal"]
     mat_id = jnp.where(some, out["mat_id"], 0)
+    tri_id = jnp.where(some, out["tri"], -1)
     uv = out["uv"]
 
     mrows = gather_rows(_material_table(scene), mat_id)
@@ -248,7 +251,17 @@ def trace_surface(
     emissive = sample_material_channel(
         scene, emissive4, mrows[..., 16:20], uv
     )[..., :3]
-    roughness = mrows[..., 8]
+    # metallic-roughness texture (material.rs:44-58): texel G scales
+    # roughness, B scales metallic.
+    rough_f = mrows[..., 8]
+    metal_f = mrows[..., 7]
+    mr_mult = jnp.stack(
+        [jnp.ones_like(rough_f), rough_f, metal_f, jnp.ones_like(rough_f)],
+        axis=-1,
+    )
+    mr = sample_material_channel(scene, mr_mult, mrows[..., 20:24], uv)
+    roughness = mr[..., 1]
+    metallic = mr[..., 2]
     if regularize:
         roughness = jnp.maximum(roughness, 0.75 * 0.75)
 
@@ -262,10 +275,11 @@ def trace_surface(
         dir=d,
         normal=z(normal),
         uv=z(uv),
+        tri=tri_id,
         material_id=mat_id,
         base_color=z(base_color),
         emissive=z(emissive),
-        metallic=z(mrows[..., 7]),
+        metallic=z(metallic),
         roughness=z(roughness),
         reflectance=z(mrows[..., 9]),
         depth=t,

@@ -58,16 +58,37 @@ def primary_pass(scene: Scene, camera: Camera, prev_camera: Camera):
     """Ray-cast primary visibility.
 
     Returns (surface: Surface[H,W], velocity f32[H,W,2]). Velocity =
-    screen motion of the hit point between cameras (static geometry;
-    per-instance motion needs prev transforms, handled by the dynamic
-    scene path), with the small-velocity clamp of prim_raster.rs:114-127.
+    screen motion of the hit point between frames: the hit point is
+    mapped back through the instance's previous transform when the
+    scene carries per-instance motion (prim_raster.rs:25-35 computes
+    prev clip pos via prev_xform * curr_xform_inv) and then projected
+    with the previous camera; the small-velocity clamp matches
+    prim_raster.rs:114-127.
     """
     grid = screen_grid(camera)
     o, d = pixel_rays(camera, grid)
     surf = trace_surface(scene, o, d)
 
     curr_x, curr_y = world_to_screen_xy(camera, surf.point)
-    prev_x, prev_y = world_to_screen_xy(prev_camera, surf.point)
+    if scene.motion is not None:
+        tri = jnp.maximum(surf.tri, 0)
+        inst = jnp.asarray(scene.motion.instance_id)[tri]
+        a = gather.gather_rows(scene.motion.prev_of_curr, inst)  # [H,W,12]
+        p = surf.point
+        prev_point = jnp.stack(
+            [
+                a[..., 0] * p[..., 0] + a[..., 1] * p[..., 1]
+                + a[..., 2] * p[..., 2] + a[..., 3],
+                a[..., 4] * p[..., 0] + a[..., 5] * p[..., 1]
+                + a[..., 6] * p[..., 2] + a[..., 7],
+                a[..., 8] * p[..., 0] + a[..., 9] * p[..., 1]
+                + a[..., 10] * p[..., 2] + a[..., 11],
+            ],
+            axis=-1,
+        )
+    else:
+        prev_point = surf.point
+    prev_x, prev_y = world_to_screen_xy(prev_camera, prev_point)
     vel_x = curr_x - prev_x
     vel_y = curr_y - prev_y
     small = vel_x * vel_x + vel_y * vel_y < 0.001

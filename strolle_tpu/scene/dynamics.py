@@ -54,6 +54,11 @@ class _InstanceRec:
     normals: np.ndarray
     uvs: np.ndarray
     material_id: int
+    # transform used to bake positions (None = identity) + the one in
+    # effect last frame, for object-motion velocity (instances.rs
+    # prev_transform feeding prim_raster.rs:25-35)
+    transform: np.ndarray | None = None
+    prev_transform: np.ndarray | None = None
 
 
 @dataclass
@@ -72,6 +77,23 @@ class _MeshInstanceRec:
     mesh: Hashable
     material: Hashable | int
     transform: np.ndarray | None
+    prev_transform: np.ndarray | None = None
+
+
+def _prev_of_curr_affine(
+    prev: np.ndarray | None, curr: np.ndarray | None
+) -> np.ndarray:
+    """Row-major 3x4 affine mapping current world pos -> previous world
+    pos: prev_xform @ inv(curr_xform) (prim_raster.rs:25-35)."""
+    ident = np.eye(3, 4, dtype=np.float32)
+    if prev is None and curr is None:
+        return ident
+    p = np.eye(4, dtype=np.float32) if prev is None else np.asarray(prev)
+    c = np.eye(4, dtype=np.float32) if curr is None else np.asarray(curr)
+    if p.shape == c.shape and np.allclose(p, c):
+        return ident
+    a = (p @ np.linalg.inv(c)).astype(np.float32)
+    return a[:3, :4]
 
 
 @dataclass
@@ -107,6 +129,16 @@ class SceneEditor:
 
         self._instances: dict[Hashable, _InstanceRec] = {}
         self._geometry_dirty = True
+        # transform-only edits take the BVH refit fast path instead of a
+        # full rebuild (native bvh_refit; the reference's analogue is the
+        # subtree-hash incremental builder, bvh/builder.rs:204-279)
+        self._transforms_dirty = False
+        self._refit_streak = 0
+        #: consecutive refits allowed before a full rebuild restores SAH
+        #: quality (refitted boxes only grow; a periodic rebuild re-splits)
+        self.max_refit_streak = 15
+        #: per-editor counters ("tick.bvh" build vs refit path hits)
+        self.stats = {"bvh_rebuilds": 0, "bvh_refits": 0}
         self._bvh = None
         self._geometry: Geometry | None = None
 
@@ -429,15 +461,30 @@ class SceneEditor:
         not (yet) present the instance is skipped and retried next frame
         (instances.rs:85-101)."""
         if mesh is not None:
+            old = self._mesh_instances.get(handle)
+            # a re-inserted instance keeps last frame's transform as its
+            # prev (instances.rs:69-139); a brand-new one starts with
+            # prev == curr (zero object velocity)
+            curr = (
+                None if transform is None else np.asarray(transform, np.float32)
+            )
+            mat_ref = material if material is not None else material_id
             self._mesh_instances[handle] = _MeshInstanceRec(
                 mesh=mesh,
-                material=material if material is not None else material_id,
-                transform=None
-                if transform is None
-                else np.asarray(transform, np.float32),
+                material=mat_ref,
+                transform=curr,
+                prev_transform=old.transform if old is not None else curr,
             )
             self._instances.pop(handle, None)
-            self._geometry_dirty = True
+            if (
+                old is not None
+                and old.mesh == mesh
+                and old.material == mat_ref
+            ):
+                # same topology, new transform -> BVH refit fast path
+                self._transforms_dirty = True
+            else:
+                self._geometry_dirty = True
             return
         positions = np.asarray(positions, np.float32)
         t = positions.shape[0]
@@ -453,13 +500,23 @@ class SceneEditor:
             if uvs is None
             else np.asarray(uvs, np.float32)
         )
+        curr_xf = None
         if transform is not None:
             from .. import native
 
+            curr_xf = np.asarray(transform, np.float32)
             positions, normals = native.transform_triangles(
-                positions, normals, np.asarray(transform, np.float32)
+                positions, normals, curr_xf
             )
-        self._instances[handle] = _InstanceRec(positions, normals, uvs, material_id)
+        old = self._instances.get(handle)
+        self._instances[handle] = _InstanceRec(
+            positions,
+            normals,
+            uvs,
+            material_id,
+            transform=curr_xf,
+            prev_transform=old.transform if old is not None else curr_xf,
+        )
         self._geometry_dirty = True
 
     def remove_instance(self, handle: Hashable):
@@ -472,13 +529,19 @@ class SceneEditor:
         from ..bvh.builder import build_bvh
 
         parts_p, parts_n, parts_u, parts_m = [], [], [], []
-        for rec in self._instances.values():
+        parts_i = []
+        motion_handles: list[tuple[str, Hashable]] = []
+        for handle, rec in self._instances.items():
             parts_p.append(rec.positions)
             parts_n.append(rec.normals)
             parts_u.append(rec.uvs)
             parts_m.append(np.full(len(rec.positions), rec.material_id, np.int32))
+            parts_i.append(
+                np.full(len(rec.positions), len(motion_handles), np.int32)
+            )
+            motion_handles.append(("soup", handle))
         pending = False
-        for rec in self._mesh_instances.values():
+        for handle, rec in self._mesh_instances.items():
             mesh = self._meshes.get(rec.mesh)
             mat = self._material_slot(rec.material)
             if mesh is None or mat is None:
@@ -497,18 +560,23 @@ class SceneEditor:
             parts_n.append(nrm)
             parts_u.append(mesh.uvs)
             parts_m.append(np.full(len(pos), mat, np.int32))
+            parts_i.append(np.full(len(pos), len(motion_handles), np.int32))
+            motion_handles.append(("mesh", handle))
         if not parts_p:
             parts_p = [np.zeros((1, 3, 3), np.float32)]
             parts_n = [np.zeros((1, 3, 3), np.float32)]
             parts_u = [np.zeros((1, 3, 2), np.float32)]
             parts_m = [np.zeros(1, np.int32)]
+            parts_i = [np.zeros(1, np.int32)]
         pos = np.concatenate(parts_p)
         nrm = np.concatenate(parts_n)
         uv = np.concatenate(parts_u)
         mid = np.concatenate(parts_m)
+        iid = np.concatenate(parts_i)
 
         arrays, order = build_bvh(pos)
         pos, nrm, uv, mid = pos[order], nrm[order], uv[order], mid[order]
+        iid = iid[order]
 
         # pad to a capacity bucket with degenerate triangles so jitted
         # pipelines keep their shapes across edits
@@ -519,7 +587,14 @@ class SceneEditor:
             nrm = np.concatenate([nrm, np.zeros((pad, 3, 3), np.float32)])
             uv = np.concatenate([uv, np.zeros((pad, 3, 2), np.float32)])
             mid = np.concatenate([mid, np.zeros(pad, np.int32)])
+            # padded (degenerate, never-hit) triangles map to the
+            # trailing identity motion slot
+            iid = np.concatenate(
+                [iid, np.full(pad, len(motion_handles), np.int32)]
+            )
 
+        self._motion_handles = motion_handles
+        self._instance_ids = iid
         self._geometry = Geometry(
             positions=jnp.asarray(pos),
             normals=jnp.asarray(nrm),
@@ -531,9 +606,114 @@ class SceneEditor:
         # therefore every jitted pipeline cache entry) survives edits
         from ..bvh.builder import pad_nodes
 
-        arrays = pad_nodes(arrays, _bucket(arrays.num_nodes))
+        # refit-path state: BVH order + mutable numpy node copies
+        self._tri_order = np.asarray(order)
+        self._live_tris = int(self._tri_order.shape[0])
+        self._geom_cap = cap
+        self._node_cap = _bucket(arrays.num_nodes)
+        self._bvh_np = (
+            np.array(arrays.child_min, np.float32),
+            np.array(arrays.child_max, np.float32),
+            np.array(arrays.child, np.int32),
+            np.array(arrays.child_count, np.int32),
+        )
+        self._refit_streak = 0
+        self.stats["bvh_rebuilds"] += 1
+
+        arrays = pad_nodes(arrays, self._node_cap)
         self._bvh = arrays.replace(max_depth=max(arrays.max_depth, 48))
         self._geometry_dirty = pending
+
+    def _refit_geometry(self):
+        """Transform-only update: re-transform triangles, refit node
+        AABBs in place (native bvh_refit), keep topology/order. Falls
+        back to a full rebuild when native is unavailable or the refit
+        streak exceeds max_refit_streak (refitted boxes only grow, so a
+        periodic rebuild restores SAH quality)."""
+        from .. import native
+        from ..bvh.builder import BvhArrays, pad_nodes
+
+        if (
+            not native.available()
+            or self._refit_streak >= self.max_refit_streak
+        ):
+            self._build_geometry()
+            return
+
+        parts_p, parts_n = [], []
+        for rec in self._instances.values():
+            parts_p.append(rec.positions)
+            parts_n.append(rec.normals)
+        for rec in self._mesh_instances.values():
+            mesh = self._meshes.get(rec.mesh)
+            if mesh is None or self._material_slot(rec.material) is None:
+                continue  # was skipped at build time too
+            pos, nrm = mesh.positions, mesh.normals
+            if rec.transform is not None:
+                pos, nrm = native.transform_triangles(pos, nrm, rec.transform)
+            parts_p.append(pos)
+            parts_n.append(nrm)
+        pos = np.concatenate(parts_p) if parts_p else np.zeros(
+            (1, 3, 3), np.float32
+        )
+        nrm = np.concatenate(parts_n) if parts_n else np.zeros(
+            (1, 3, 3), np.float32
+        )
+        if len(pos) != self._live_tris:
+            # topology changed after all — full rebuild
+            self._build_geometry()
+            return
+        pos = pos[self._tri_order]
+        nrm = nrm[self._tri_order]
+
+        cmin, cmax, child, ccount = self._bvh_np
+        native.bvh_refit(pos, cmin, cmax, child, ccount)
+        self._refit_streak += 1
+        self.stats["bvh_refits"] += 1
+
+        pad = self._geom_cap - len(pos)
+        if pad:
+            pos = np.concatenate([pos, np.zeros((pad, 3, 3), np.float32)])
+            nrm = np.concatenate([nrm, np.zeros((pad, 3, 3), np.float32)])
+        self._geometry = self._geometry.replace(
+            positions=jnp.asarray(pos), normals=jnp.asarray(nrm)
+        )
+        arrays = pad_nodes(
+            BvhArrays(
+                child_min=cmin,
+                child_max=cmax,
+                child=child,
+                child_count=ccount,
+                max_depth=self._bvh.max_depth,
+            ),
+            self._node_cap,
+        )
+        self._bvh = arrays.replace(max_depth=self._bvh.max_depth)
+
+    def _motion_rec(self, kind: str, handle: Hashable):
+        return (
+            self._instances.get(handle)
+            if kind == "soup"
+            else self._mesh_instances.get(handle)
+        )
+
+    def _build_motion(self):
+        """Per-instance prev-of-curr affines + per-triangle slot ids
+        (trailing slot = identity, for padded triangles)."""
+        from .types import Motion
+
+        n = len(self._motion_handles)
+        mats = np.tile(np.eye(3, 4, dtype=np.float32).reshape(12), (n + 1, 1))
+        for slot, (kind, handle) in enumerate(self._motion_handles):
+            rec = self._motion_rec(kind, handle)
+            if rec is not None:
+                mats[slot] = _prev_of_curr_affine(
+                    rec.prev_transform, rec.transform
+                ).reshape(12)
+        return Motion(
+            instance_id=jnp.asarray(self._instance_ids),
+            prev_of_curr=jnp.asarray(mats),
+        )
 
     # -- tick -----------------------------------------------------------
 
@@ -546,6 +726,10 @@ class SceneEditor:
         if self._geometry_dirty:
             with metrics.measure("tick.bvh"):
                 self._build_geometry()
+        elif self._transforms_dirty:
+            with metrics.measure("tick.bvh.refit"):
+                self._refit_geometry()
+        self._transforms_dirty = False
         with metrics.measure("tick.lights"):
             lights = self._build_lights()
 
@@ -585,6 +769,7 @@ class SceneEditor:
             sun_azimuth=jnp.asarray(self.sun_azimuth, jnp.float32),
             sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
             bvh=self._bvh,
+            motion=self._build_motion(),
             has_alpha=any(m.get("alpha_blend") for m in self._materials),
             **compute_static_flags(self._geometry, materials),
         )
@@ -596,5 +781,10 @@ class SceneEditor:
         self._remapped.clear()
         for _, rec in self._light_slots:
             rec.prev = {}
+        # commit instance prev transforms (instances.rs:69-139)
+        for rec in self._instances.values():
+            rec.prev_transform = rec.transform
+        for rec in self._mesh_instances.values():
+            rec.prev_transform = rec.transform
         self.frame += 1
         return scene

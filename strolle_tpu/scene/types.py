@@ -111,6 +111,21 @@ class Atlas:
 
 
 @pytree_dataclass
+class Motion:
+    """Per-instance object motion for velocity vectors.
+
+    The reference stores each instance's previous-frame transform
+    (strolle/src/instances.rs `prev_transform`) and the raster VS maps
+    world positions back through `prev_xform * curr_xform_inv`
+    (prim_raster.rs:25-35). Here that product is prebaked host-side
+    into one affine per instance: prev_point = A @ [point, 1].
+    """
+
+    instance_id: jnp.ndarray  # i32[T] per-triangle instance slot
+    prev_of_curr: jnp.ndarray  # f32[I, 12] row-major 3x4 affine
+
+
+@pytree_dataclass
 class Scene:
     geometry: Geometry
     materials: Materials
@@ -121,6 +136,9 @@ class Scene:
     sun_altitude: jnp.ndarray  # f32[]
     # Flattened BVH (None until built; see strolle_tpu.bvh)
     bvh: Optional["object"] = None
+    # Per-instance previous transforms (None = static scene: velocity
+    # comes from camera motion alone)
+    motion: Optional[Motion] = None
     # Static: any AlphaMode::Blend materials present? Gates the
     # alpha-tested traversal path (ray.rs:212-229) at trace time so
     # fully-opaque scenes pay nothing for it.

@@ -3,13 +3,15 @@
 Constants mirror strolle-gpu/src/atmosphere.rs:19-70 (planet radii,
 Rayleigh/Mie/ozone coefficients, LUT resolutions). This module exposes:
 
-* `sample_sky(params, sun_dir, ray_dir)` — radiance toward `ray_dir`;
-  currently backed by the direct analytic single-scattering march
-  (`_raymarch_scattering`); the LUT-cached pipeline
-  (transmittance/multi-scatter/sky-view, generated by jitted functions
-  and keyed on sun altitude like passes/atmosphere.rs:76-112) lands
-  with the full-pipeline stage.
-* `sun_dir(azimuth, altitude)` — world.rs:18-25.
+* `sample_sky(sun_dir, ray_dir)` — radiance toward `ray_dir` via the
+  direct analytic single-scattering march (`_raymarch_scattering`);
+  kept as the CPU/test fallback only — never inline it into a frame
+  program (see models/restir.py program-size notes).
+* `luts_for(sun_altitude)` / `sample_atmosphere(luts, sun, dir)` — the
+  LUT-cached pipeline (transmittance/multi-scatter/sky-view, generated
+  by jitted functions and keyed on sun altitude like
+  passes/atmosphere.rs:76-112). This is the production sky path.
+* `sun_direction(azimuth, altitude)` — world.rs:18-25.
 
 The fast path used by renders with the sun below the horizon returns
 black, matching the ground-occlusion behavior of atmosphere.rs:86-106.

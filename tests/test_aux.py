@@ -123,16 +123,26 @@ def test_no_module_level_device_array_constants():
     import strolle_tpu
 
     offenders = []
+    import_failures = []
     for mod_info in pkgutil.walk_packages(
         strolle_tpu.__path__, prefix="strolle_tpu."
     ):
         try:
             mod = importlib.import_module(mod_info.name)
-        except Exception:
+        except Exception as e:  # an unimportable module could hide offenders
+            import_failures.append(f"{mod_info.name}: {e!r}")
             continue
         for name, val in vars(mod).items():
-            if isinstance(val, jax.Array):
-                offenders.append(f"{mod_info.name}.{name}")
+            # scan nested containers (tuples/lists/dicts/pytree
+            # dataclasses) too, not just direct module attributes
+            for path, leaf in jax.tree_util.tree_flatten_with_path(val)[0]:
+                if isinstance(leaf, jax.Array):
+                    keys = "".join(str(k) for k in path)
+                    offenders.append(f"{mod_info.name}.{name}{keys}")
+    assert not import_failures, (
+        "modules failed to import (cannot be scanned): "
+        + ", ".join(import_failures)
+    )
     assert not offenders, (
         "module-level device arrays (poison hazard): " + ", ".join(offenders)
     )

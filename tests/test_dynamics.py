@@ -205,3 +205,78 @@ def test_renderer_camera_lifecycle():
 
     r.delete_camera("main")
     assert not r.has_camera("main")
+
+
+def test_transform_only_edit_takes_refit_path():
+    """Re-inserting a mesh instance with only a new transform refits the
+    BVH in place (native bvh_refit) instead of a full rebuild, and the
+    refitted scene traces identically to a freshly built one."""
+    from strolle_tpu import native
+    from strolle_tpu.camera import make_camera
+    from strolle_tpu.restir.primary import primary_pass
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    box = np.asarray(
+        [
+            [[-1, -1, -1], [1, -1, -1], [1, 1, -1]],
+            [[-1, -1, -1], [1, 1, -1], [-1, 1, -1]],
+        ],
+        np.float32,
+    )
+
+    def xf(x):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [x, 0.0, -4.0]
+        return m
+
+    ed = SceneEditor()
+    ed.insert_mesh("b", box)
+    ed.insert_material("m", base_color=[1, 1, 1, 1])
+    ed.insert_instance("i", mesh="b", material="m", transform=xf(0.0))
+    ed.tick()
+    assert ed.stats == {"bvh_rebuilds": 1, "bvh_refits": 0}
+
+    ed.insert_instance("i", mesh="b", material="m", transform=xf(0.5))
+    s_refit = ed.tick()
+    assert ed.stats == {"bvh_rebuilds": 1, "bvh_refits": 1}
+
+    # ground truth: a fresh editor built directly at the new transform
+    ed2 = SceneEditor()
+    ed2.insert_mesh("b", box)
+    ed2.insert_material("m", base_color=[1, 1, 1, 1])
+    ed2.insert_instance("i", mesh="b", material="m", transform=xf(0.5))
+    s_full = ed2.tick()
+
+    cam = make_camera((0, 0, 0), (0, 0, -1), width=32, height=32)
+    surf_a, _ = primary_pass(s_refit, cam, cam)
+    surf_b, _ = primary_pass(s_full, cam, cam)
+    assert (np.asarray(surf_a.is_some) == np.asarray(surf_b.is_some)).all()
+    assert np.allclose(
+        np.asarray(surf_a.depth), np.asarray(surf_b.depth), atol=1e-4
+    )
+
+    # the streak cap forces a periodic rebuild
+    ed.max_refit_streak = 2
+    ed.insert_instance("i", mesh="b", material="m", transform=xf(1.0))
+    ed.tick()  # refit #2
+    ed.insert_instance("i", mesh="b", material="m", transform=xf(1.5))
+    ed.tick()  # streak exhausted -> rebuild
+    assert ed.stats["bvh_rebuilds"] == 2
+    assert ed.stats["bvh_refits"] == 2
+
+
+def test_mesh_swap_forces_rebuild():
+    ed = SceneEditor()
+    ed.insert_mesh("b1", _tri([0, 0, 0]))
+    ed.insert_mesh("b2", np.concatenate([_tri([0, 0, 0]), _tri([2, 0, 0])]))
+    ed.insert_material("m", base_color=[1, 1, 1, 1])
+    ed.insert_instance("i", mesh="b1", material="m")
+    ed.tick()
+    ed.insert_instance("i", mesh="b2", material="m")  # different mesh
+    ed.tick()
+    assert ed.stats["bvh_rebuilds"] == 2
+    assert ed.stats["bvh_refits"] == 0
