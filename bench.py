@@ -1,10 +1,15 @@
-"""Headline benchmark: Mrays/s/chip on the 800x600 reference path tracer.
+"""Headline benchmark: Mrays/s/chip on the 800x600 reference path tracer,
+plus the dungeon scene (packet-BVH + textures path), the realtime
+ReSTIR+SVGF pipeline, and a 1080p full-pipeline run (BASELINE staged
+config 5).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The
+headline value stays the Cornell reference-mode Mrays/s so vs_baseline
+is comparable across rounds (BENCH_r*.json); all other measurements are
+embedded in the metric string.
+
 Runs on whatever backend the environment provides (the axon TPU chip
-under the driver; CPU if forced). The reference publishes no numbers
-(BASELINE.md), so vs_baseline is measured against the previous round's
-recording when available (BENCH_r*.json), else 1.0.
+under the driver; CPU if forced).
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ import jax.numpy as jnp
 WIDTH, HEIGHT = 800, 608  # 800x600 rounded to row-tile multiple
 DEPTH = 4  # bounces after the primary hit
 FRAMES = 8
+HD_WIDTH, HD_HEIGHT = 1920, 1088  # 1080p rounded to row-tile multiple
 
 
 def rays_per_frame(width: int, height: int, depth: int) -> int:
@@ -29,44 +35,70 @@ def rays_per_frame(width: int, height: int, depth: int) -> int:
     return width * height * (depth + 1) * 2
 
 
-def main() -> None:
+def bench_reference(scene, camera, depth=DEPTH, frames=FRAMES,
+                    include_sky=False):
     from strolle_tpu.models.reference import render_reference, init_accumulator
-    from strolle_tpu.scene.cornell import cornell_box, cornell_camera
-    from strolle_tpu.bvh import scene_with_bvh
 
-    scene = scene_with_bvh(cornell_box())
-    camera = cornell_camera(WIDTH, HEIGHT)
     acc = init_accumulator(camera)
-
-    # compile + warmup
     img, acc = render_reference(
-        scene, camera, acc, jnp.uint32(0), depth=DEPTH, include_sky=False
+        scene, camera, acc, jnp.uint32(0), depth=depth,
+        include_sky=include_sky,
     )
     img.block_until_ready()
-
     t0 = time.perf_counter()
-    for f in range(FRAMES):
+    for f in range(frames):
         img, acc = render_reference(
-            scene, camera, acc, jnp.uint32(f + 1), depth=DEPTH, include_sky=False
+            scene, camera, acc, jnp.uint32(f + 1), depth=depth,
+            include_sky=include_sky,
         )
     img.block_until_ready()
     dt = time.perf_counter() - t0
+    ms = dt / frames * 1e3
+    mrays = rays_per_frame(camera.width, camera.height, depth) * frames / dt / 1e6
+    return mrays, ms
 
-    ms_per_frame = dt / FRAMES * 1e3
-    mrays = rays_per_frame(WIDTH, HEIGHT, DEPTH) * FRAMES / dt / 1e6
 
-    # real-time pipeline (ReSTIR DI+GI + SVGF), steady-state ms/frame
+def bench_realtime(scene, camera, frames=20, include_sky=False, luts=None):
     from strolle_tpu.models.restir import RenderConfig, init_state, render_frame
 
-    cfg = RenderConfig()
+    cfg = RenderConfig(include_sky=include_sky)
     state = init_state(camera)
-    ch, state = render_frame(scene, camera, state, jnp.uint32(0), cfg)
+    ch, state = render_frame(scene, camera, state, jnp.uint32(0), cfg, luts=luts)
     ch["image"].block_until_ready()
     t0 = time.perf_counter()
-    for f in range(20):
-        ch, state = render_frame(scene, camera, state, jnp.uint32(f + 1), cfg)
+    for f in range(frames):
+        ch, state = render_frame(
+            scene, camera, state, jnp.uint32(f + 1), cfg, luts=luts
+        )
     ch["image"].block_until_ready()
-    restir_ms = (time.perf_counter() - t0) / 20 * 1e3
+    return (time.perf_counter() - t0) / frames * 1e3
+
+
+def main() -> None:
+    from strolle_tpu.scene.cornell import cornell_box, cornell_camera
+    from strolle_tpu.scene.demo import dungeon, dungeon_camera
+    from strolle_tpu.bvh import scene_with_bvh
+
+    # --- Cornell (megakernel path; headline metric) ---------------------
+    cornell = scene_with_bvh(cornell_box())
+    cam = cornell_camera(WIDTH, HEIGHT)
+    c_mrays, c_ms = bench_reference(cornell, cam)
+    c_rt = bench_realtime(cornell, cam)
+
+    # --- dungeon (8.4k textured tris: packet-BVH kernels + atlas) -------
+    dg = scene_with_bvh(dungeon())
+    dcam = dungeon_camera(WIDTH, HEIGHT)
+    d_mrays, d_ms = bench_reference(dg, dcam)
+    from strolle_tpu.sky.atmosphere import luts_for
+
+    luts = luts_for(0.35)
+    dg_sun = dg.replace(sun_altitude=jnp.asarray(0.35, jnp.float32))
+    d_rt = bench_realtime(dg_sun, dcam, include_sky=True, luts=luts)
+
+    # --- 1080p full pipeline (BASELINE staged config 5) ------------------
+    hd_cam = dungeon_camera(HD_WIDTH, HD_HEIGHT)
+    hd_rt = bench_realtime(dg_sun, hd_cam, frames=10, include_sky=True,
+                           luts=luts)
 
     prev = None
     for path in sorted(
@@ -76,6 +108,8 @@ def main() -> None:
         try:
             with open(path) as f:
                 rec = json.load(f)
+            if "parsed" in rec:
+                rec = rec["parsed"]
             if rec.get("unit") == "Mrays/s":
                 prev = rec["value"]
         except Exception:
@@ -86,12 +120,14 @@ def main() -> None:
             {
                 "metric": (
                     f"reference-mode Mrays/s/chip @{WIDTH}x{HEIGHT} d{DEPTH} "
-                    f"({ms_per_frame:.1f} ms/frame; realtime ReSTIR+SVGF "
-                    f"pipeline {restir_ms:.2f} ms/frame)"
+                    f"Cornell ({c_ms:.1f} ms/frame; realtime {c_rt:.2f} ms) | "
+                    f"dungeon 8.4k-tri textured: {d_mrays:.0f} Mrays/s "
+                    f"({d_ms:.1f} ms/frame; realtime+sky {d_rt:.2f} ms) | "
+                    f"1080p realtime+sky {hd_rt:.2f} ms/frame"
                 ),
-                "value": round(mrays, 2),
+                "value": round(c_mrays, 2),
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / prev, 3) if prev else 1.0,
+                "vs_baseline": round(c_mrays / prev, 3) if prev else 1.0,
             }
         )
     )

@@ -10,6 +10,8 @@
 //     traversal kernels consume (strolle_tpu/bvh/builder.py contract)
 //   * bottom-up BVH refit for deforming geometry with unchanged
 //     topology (the "refit-only fast path" of SURVEY.md §7.8.4)
+//   * incremental rebuild with subtree-hash ghost reuse
+//     (strolle/src/bvh/builder.rs:204-279 semantics)
 //   * range allocator           (strolle/src/utils/allocator.rs)
 //   * guillotine atlas allocator(strolle/src/images.rs / guillotiere)
 //   * world-space triangle transform with inverse-transpose normals
@@ -20,9 +22,12 @@
 
 #include <algorithm>
 #include <cfloat>
+#include <climits>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 #define API extern "C" __attribute__((visibility("default")))
@@ -65,11 +70,46 @@ struct Aabb {
   }
 };
 
+// splitmix64 finalizer: the per-primitive key mixes the bit patterns of
+// its AABB (the only geometry the BVH depends on)
+static inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+// Previous-build snapshot for incremental subtree reuse
+// (builder.rs:204-279 ghost-reuse semantics, re-derived for the
+// reordered-triangle layout: subtrees are matched by an
+// order-independent hash of their primitives' AABB keys, and on a hit
+// the node structure is copied with leaf offsets rebased while current
+// primitives are matched to previous leaf slots by key).
+struct BvhCtx {
+  std::vector<float> cmin, cmax;      // [n,2,3]
+  std::vector<int32_t> child, count;  // [n,2]
+  std::vector<uint64_t> keys;         // [T] key per ORDER position
+  int n_nodes = 0;
+  int n_tris = 0;
+  struct Sub {
+    int32_t node;   // subtree root node id (internal nodes only)
+    int first;      // leaf-sequential primitive range
+    int count;
+    int depth;      // subtree depth
+    int n_sub;      // nodes in the subtree
+  };
+  std::unordered_map<uint64_t, Sub> subs;
+};
+
+constexpr int MIN_REUSE_PRIMS = 16;
+
 struct Builder {
   const float *tmin;  // [T,3]
   const float *tmax;
   const float *center;  // [T,3]
   int32_t *ids;         // permutation being built, [T]
+  const uint64_t *key = nullptr;  // [T] per-primitive AABB keys (optional)
+  const BvhCtx *prev = nullptr;   // previous build (optional)
 
   // output node arrays (row-per-node, 2 children each)
   float *out_cmin;      // [maxN,2,3]
@@ -79,6 +119,7 @@ struct Builder {
   int max_nodes;
   int n_nodes = 0;
   int max_depth = 0;
+  int reused_nodes = 0;
   bool overflow = false;
 
   V3 tri_min(int32_t id) const {
@@ -205,6 +246,76 @@ struct Builder {
     max_depth = std::max(max_depth, it.depth);
   }
 
+  // Attempts to satisfy a work item by copying a hash-matched subtree
+  // of the previous build. Returns true when the item was emitted.
+  bool try_reuse(const Item &it) {
+    if (!prev || !key || it.count < MIN_REUSE_PRIMS) return false;
+    uint64_t h = 0;
+    for (int i = it.first; i < it.first + it.count; ++i) h += key[ids[i]];
+    auto f = prev->subs.find(h);
+    if (f == prev->subs.end()) return false;
+    const BvhCtx::Sub &sub = f->second;
+    if (sub.count != it.count) return false;
+    if (n_nodes + sub.n_sub > max_nodes) return false;
+
+    // match current primitives to previous leaf slots by key; any rank
+    // mismatch means a hash collision -> bail out to a fresh split
+    std::vector<std::pair<uint64_t, int32_t>> cur(it.count);
+    std::vector<std::pair<uint64_t, int32_t>> old(it.count);
+    for (int j = 0; j < it.count; ++j) {
+      cur[j] = {key[ids[it.first + j]], ids[it.first + j]};
+      old[j] = {prev->keys[sub.first + j], (int32_t)j};  // slot offset
+    }
+    std::sort(cur.begin(), cur.end());
+    std::sort(old.begin(), old.end());
+    for (int j = 0; j < it.count; ++j)
+      if (cur[j].first != old[j].first) return false;
+    for (int j = 0; j < it.count; ++j)
+      ids[it.first + old[j].second] = cur[j].second;
+
+    // copy the subtree (pre-order keeps child id > parent id, the
+    // refit invariant); leaf tokens are rebased to the current range
+    struct CopyItem { int32_t pid; int node, slot; int depth; };
+    std::vector<CopyItem> stack;
+    Aabb root_b;
+    {
+      const float *cm = prev->cmin.data() + (size_t)sub.node * 6;
+      const float *cx = prev->cmax.data() + (size_t)sub.node * 6;
+      for (int k = 0; k < 2; ++k) {
+        root_b.grow({cm[k * 3], cm[k * 3 + 1], cm[k * 3 + 2]},
+                    {cx[k * 3], cx[k * 3 + 1], cx[k * 3 + 2]});
+      }
+    }
+    int root_new = n_nodes++;
+    write_child(it.node, it.slot, root_b, root_new, 0);
+    stack.push_back({sub.node, root_new, -1, it.depth});
+    while (!stack.empty()) {
+      CopyItem ci = stack.back();
+      stack.pop_back();
+      int nid = ci.node;
+      max_depth = std::max(max_depth, ci.depth + 1);
+      for (int k = 0; k < 2; ++k) {
+        const float *cm = prev->cmin.data() + (size_t)ci.pid * 6 + k * 3;
+        const float *cx = prev->cmax.data() + (size_t)ci.pid * 6 + k * 3;
+        Aabb b;
+        b.lo = {cm[0], cm[1], cm[2]};
+        b.hi = {cx[0], cx[1], cx[2]};
+        int32_t t = prev->child[2 * ci.pid + k];
+        int32_t c = prev->count[2 * ci.pid + k];
+        if (t < 0) {
+          int pf = -(t + 1);
+          write_child(nid, k, b, -(it.first + (pf - sub.first) + 1), c);
+        } else {
+          int cn = n_nodes++;
+          write_child(nid, k, b, cn, 0);
+          stack.push_back({t, cn, k, ci.depth + 1});
+        }
+      }
+    }
+    reused_nodes += sub.n_sub;
+    return true;
+  }
+
   void write_child(int node, int slot, const Aabb &b, int32_t token,
                    int32_t count) {
     float *cm = out_cmin + (size_t)node * 6 + slot * 3;
@@ -248,6 +359,7 @@ struct Builder {
     while (!work.empty()) {
       Item it = work.back();
       work.pop_back();
+      if (try_reuse(it)) continue;
       int n = it.count;
       Aabb b = range_bounds(it.first, n);
 
@@ -365,6 +477,130 @@ API int strolle_bvh_refit(const float *positions, int n_tris,
     node_box[n] = total;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Incremental BVH build context (subtree-hash ghost reuse,
+// builder.rs:204-279 counterpart for the reordered-triangle layout).
+
+namespace {
+
+uint64_t prim_key(const float *tmin, const float *tmax, int32_t id) {
+  uint64_t h = 0x2545f4914f6cdd1dull;
+  for (int a = 0; a < 3; ++a) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, tmin + 3 * id + a, 4);
+    std::memcpy(&hi, tmax + 3 * id + a, 4);
+    h = mix64(h ^ lo);
+    h = mix64(h ^ hi);
+  }
+  return h;
+}
+
+// Snapshots a finished build into `ctx` and indexes every internal
+// child subtree by the order-independent hash of its primitive keys.
+void snapshot_ctx(BvhCtx *ctx, const float *cmin, const float *cmax,
+                  const int32_t *child, const int32_t *count, int n_nodes,
+                  const int32_t *order, const uint64_t *key_by_id,
+                  int n_tris) {
+  ctx->cmin.assign(cmin, cmin + (size_t)n_nodes * 6);
+  ctx->cmax.assign(cmax, cmax + (size_t)n_nodes * 6);
+  ctx->child.assign(child, child + (size_t)n_nodes * 2);
+  ctx->count.assign(count, count + (size_t)n_nodes * 2);
+  ctx->n_nodes = n_nodes;
+  ctx->n_tris = n_tris;
+  ctx->keys.resize(n_tris);
+  for (int i = 0; i < n_tris; ++i) ctx->keys[i] = key_by_id[order[i]];
+
+  // prefix sums of position keys give O(1) range hashes
+  std::vector<uint64_t> prefix((size_t)n_tris + 1, 0);
+  for (int i = 0; i < n_tris; ++i) prefix[i + 1] = prefix[i] + ctx->keys[i];
+
+  // bottom-up: children have larger ids than their parent
+  std::vector<int> first((size_t)n_nodes, INT32_MAX);
+  std::vector<int> last((size_t)n_nodes, 0);
+  std::vector<int> nsub((size_t)n_nodes, 1);
+  std::vector<int> depth((size_t)n_nodes, 1);
+  ctx->subs.clear();
+  for (int n = n_nodes - 1; n >= 0; --n) {
+    for (int k = 0; k < 2; ++k) {
+      int32_t t = child[2 * n + k];
+      if (t < 0) {
+        int f = -(t + 1);
+        int c = count[2 * n + k];
+        if (c > 0) {
+          first[n] = std::min(first[n], f);
+          last[n] = std::max(last[n], f + c);
+        }
+      } else if (t < n_nodes) {
+        first[n] = std::min(first[n], first[t]);
+        last[n] = std::max(last[n], last[t]);
+        nsub[n] += nsub[t];
+        depth[n] = std::max(depth[n], depth[t] + 1);
+        int c = last[t] - first[t];
+        if (c >= MIN_REUSE_PRIMS) {
+          uint64_t h = prefix[last[t]] - prefix[first[t]];
+          ctx->subs.emplace(
+              h, BvhCtx::Sub{t, first[t], c, depth[t], nsub[t]});
+        }
+      }
+    }
+    if (first[n] == INT32_MAX) first[n] = 0;  // degenerate/empty
+  }
+}
+
+}  // namespace
+
+API void *strolle_bvh_ctx_new(void) { return new BvhCtx(); }
+API void strolle_bvh_ctx_free(void *h) { delete (BvhCtx *)h; }
+
+// strolle_bvh_build plus cross-frame subtree reuse through `ctx`
+// (builder.rs:204-279 ghost semantics). `out_reused_nodes` reports how
+// many node rows were copied instead of re-split.
+API int strolle_bvh_build_incremental(
+    void *ctx_h, const float *positions, int n_tris, float *out_cmin,
+    float *out_cmax, int32_t *out_child, int32_t *out_count,
+    int32_t *out_order, int max_nodes, int *out_max_depth,
+    int *out_reused_nodes) {
+  if (n_tris <= 0 || max_nodes < 1) return -1;
+  BvhCtx *ctx = (BvhCtx *)ctx_h;
+  std::vector<float> tmin((size_t)n_tris * 3), tmax((size_t)n_tris * 3),
+      center((size_t)n_tris * 3);
+  for (int i = 0; i < n_tris; ++i) {
+    const float *p = positions + (size_t)i * 9;
+    for (int a = 0; a < 3; ++a) {
+      float lo = std::min(p[a], std::min(p[3 + a], p[6 + a]));
+      float hi = std::max(p[a], std::max(p[3 + a], p[6 + a]));
+      tmin[3 * i + a] = lo;
+      tmax[3 * i + a] = hi;
+      center[3 * i + a] = 0.5f * (lo + hi);
+    }
+  }
+  std::vector<uint64_t> keys((size_t)n_tris);
+  for (int i = 0; i < n_tris; ++i)
+    keys[i] = prim_key(tmin.data(), tmax.data(), i);
+  for (int i = 0; i < n_tris; ++i) out_order[i] = i;
+
+  Builder b;
+  b.tmin = tmin.data();
+  b.tmax = tmax.data();
+  b.center = center.data();
+  b.ids = out_order;
+  b.key = keys.data();
+  b.prev = (ctx && ctx->n_nodes > 0) ? ctx : nullptr;
+  b.out_cmin = out_cmin;
+  b.out_cmax = out_cmax;
+  b.out_child = out_child;
+  b.out_count = out_count;
+  b.max_nodes = max_nodes;
+  b.run(n_tris);
+  *out_max_depth = b.max_depth + 2;
+  if (out_reused_nodes) *out_reused_nodes = b.reused_nodes;
+  if (b.overflow) return -1;
+  if (ctx)
+    snapshot_ctx(ctx, out_cmin, out_cmax, out_child, out_count, b.n_nodes,
+                 out_order, keys.data(), n_tris);
+  return b.n_nodes;
 }
 
 // ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ def _leaf_token(first: int) -> int:
 
 
 def build_bvh(
-    positions: np.ndarray, backend: str | None = None
+    positions: np.ndarray, backend: str | None = None, ctx=None
 ) -> tuple[BvhArrays, np.ndarray]:
     """Builds a BVH over triangles `positions` [T, 3, 3].
 
@@ -69,11 +69,18 @@ def build_bvh(
     ``backend``: "native" (C++ builder, native/strolle_native.cpp),
     "numpy", or None = native when available (it is ~100-1000x faster,
     which is what makes per-frame dynamic-scene rebuilds viable).
+
+    ``ctx``: optional native.BvhContext enabling cross-frame
+    subtree-hash reuse (builder.rs:204-279): unchanged subtrees are
+    copied from the previous build instead of re-split.
     """
     if backend in (None, "native"):
         from .. import native
 
-        out = native.bvh_build(np.asarray(positions, np.float32))
+        if ctx is not None:
+            out = ctx.build(np.asarray(positions, np.float32))
+        else:
+            out = native.bvh_build(np.asarray(positions, np.float32))
         if out is not None:
             cmin, cmax, child, count, order, max_depth = out
             # host numpy on purpose (jit transfers h2d on first call;

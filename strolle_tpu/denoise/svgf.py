@@ -21,6 +21,8 @@ not denoised (README.md:40).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -191,7 +193,10 @@ def _jitter_shift(arr, jy, jx, radius):
     return axis_pass(axis_pass(arr, jy, 0), jx, 1)
 
 
-def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
+def _wavelet_impl(
+    stride, strength, radius, sigma_ab,
+    c_lin, c_w, var, depth, normal, skyf, jyf, jxf,
+):
     """One a-trous iteration: 3x3 taps at `stride`, blue-noise jitter.
 
     The reference jitters each tap position by the CENTER pixel's
@@ -201,9 +206,15 @@ def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
     tap's offset is then evaluated at the tap's own pixel rather than
     the center — an equally valid dither of the same magnitude) and
     read the 8 taps as static shifts, which lower to pad+slice.
+
+    ``c_lin`` is the color the filter is APPLIED to; ``c_w`` is the
+    color the edge-stopping weights are computed from. The two are the
+    same array in the forward pass; the custom VJP re-applies the
+    filter to cotangents with ``c_w`` frozen (BASELINE.md custom-VJP
+    requirement; SURVEY.md §7.5), so the backward pass is the exact
+    adjoint of the frozen-weight linear operator.
     """
-    sky = ~surf.is_some
-    center_luma = vm.luma(color)
+    sky = skyf > 0.5
     a, b = sigma_ab
     # The reference lerps on the raw sqrt(var) (frame_denoising.rs:263,
     # :266); above var=1 that extrapolates the sigma NEGATIVE and
@@ -216,17 +227,18 @@ def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
         vm.saturate(jnp.sqrt(jnp.maximum(var, 0.0))),
     )
     depth_sigma = 0.33 / strength
+    center_luma = vm.luma(c_w)
 
     sum_w = jnp.ones_like(var)
-    sum_c = color
+    sum_c = c_lin
     sum_v = var
 
-    h, w = var.shape
-    fields = (color, var, surf.depth, surf.normal, sky.astype(jnp.float32))
-    if jitter_yx is not None:
-        jy, jx, radius = jitter_yx
+    fields = (c_lin, c_w, var, depth, normal, skyf)
+    if radius > 0:
+        jy = jyf.astype(jnp.int32)
+        jx = jxf.astype(jnp.int32)
         fields = tuple(_jitter_shift(f, jy, jx, radius) for f in fields)
-    j_color, j_var, j_depth, j_normal, j_skyf = fields
+    j_lin, j_w, j_var, j_depth, j_normal, j_skyf = fields
 
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
@@ -234,27 +246,92 @@ def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
                 continue
             dy = oy * stride
             dx = ox * stride
-            s_color, inb = _shift(j_color, dy, dx)
+            s_lin, inb = _shift(j_lin, dy, dx)
+            s_w, _ = _shift(j_w, dy, dx)
             s_var, _ = _shift(j_var, dy, dx)
             s_depth, _ = _shift(j_depth, dy, dx)
             s_normal, _ = _shift(j_normal, dy, dx)
             s_skyf, _ = _shift(j_skyf, dy, dx)
-            s_luma = vm.luma(s_color)
+            s_luma = vm.luma(s_w)
             wgt = _sample_weight(
-                center_luma, surf.depth, surf.normal,
+                center_luma, depth, normal,
                 s_luma, s_depth, s_normal,
                 luma_sigma, depth_sigma,
             )
             wgt = jnp.where(inb & (s_skyf < 0.5) & (wgt > 0.0), wgt, 0.0)
             sum_w = sum_w + wgt
-            sum_c = sum_c + wgt[..., None] * s_color
+            sum_c = sum_c + wgt[..., None] * s_lin
             sum_v = sum_v + wgt * wgt * s_var
 
     out_c = sum_c / sum_w[..., None]
     out_v = sum_v / (sum_w * sum_w)
-    out_c = jnp.where(sky[..., None], color, out_c)
+    out_c = jnp.where(sky[..., None], c_lin, out_c)
     out_v = jnp.where(sky, var, out_v)
     return out_c, out_v
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _wavelet_core(stride, strength, radius, sigma_ab,
+                  color, var, depth, normal, skyf, jyf, jxf):
+    """A-trous iteration with the BASELINE-required custom VJP: the
+    backward pass freezes the edge-stopping weights (computed from the
+    primal color/variance/geometry) and pushes the color cotangent
+    through the exact adjoint of the remaining linear filter. Variance,
+    geometry, and jitter receive zero cotangent — gradients follow the
+    filtered radiance only, never the weight nonlinearities (cheaper
+    and far stabler than autodiff through exp/|.|/pow, SURVEY.md §7.5)."""
+    return _wavelet_impl(
+        stride, strength, radius, sigma_ab,
+        color, color, var, depth, normal, skyf, jyf, jxf,
+    )
+
+
+def _wavelet_core_fwd(stride, strength, radius, sigma_ab,
+                      color, var, depth, normal, skyf, jyf, jxf):
+    out = _wavelet_core(
+        stride, strength, radius, sigma_ab,
+        color, var, depth, normal, skyf, jyf, jxf,
+    )
+    return out, (color, var, depth, normal, skyf, jyf, jxf)
+
+
+def _wavelet_core_bwd(stride, strength, radius, sigma_ab, saved, g):
+    color, var, depth, normal, skyf, jyf, jxf = saved
+    g_c, _g_v = g  # the variance chain is detached by design
+
+    def lin(c):
+        return _wavelet_impl(
+            stride, strength, radius, sigma_ab,
+            c, color, var, depth, normal, skyf, jyf, jxf,
+        )[0]
+
+    _, vjp = jax.vjp(lin, color)
+    (g_color,) = vjp(g_c)
+    zeros = (
+        jnp.zeros_like(var), jnp.zeros_like(depth), jnp.zeros_like(normal),
+        jnp.zeros_like(skyf), jnp.zeros_like(jyf), jnp.zeros_like(jxf),
+    )
+    return (g_color,) + zeros
+
+
+_wavelet_core.defvjp(_wavelet_core_fwd, _wavelet_core_bwd)
+
+
+def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
+    """See _wavelet_impl; this wrapper adapts pytree inputs to the
+    custom-VJP core (jitter passed as f32 so zero cotangents exist)."""
+    skyf = (~surf.is_some).astype(jnp.float32)
+    if jitter_yx is None:
+        radius = 0
+        jyf = jxf = jnp.zeros_like(var)
+    else:
+        jy, jx, radius = jitter_yx
+        jyf = jy.astype(jnp.float32)
+        jxf = jx.astype(jnp.float32)
+    return _wavelet_core(
+        stride, strength, radius, sigma_ab,
+        color, var, surf.depth, surf.normal, skyf, jyf, jxf,
+    )
 
 
 def denoise_channel(

@@ -53,6 +53,12 @@ class RenderConfig:
     needs_di: bool = True
     needs_gi: bool = True
     include_sky: bool = False  # evaluate atmosphere for miss pixels
+    # Force the jnp trace path so jax.grad flows end-to-end (the fused
+    # Pallas surface kernel has no VJP). Gradients take the custom-VJP
+    # semantics of restir.reservoir.resampling_weight and
+    # denoise.svgf._wavelet_core: resampling statistics and a-trous
+    # weights are detached; radiance is differentiated straight-through.
+    differentiable: bool = False
 
 
 @pytree_dataclass
@@ -163,10 +169,11 @@ def render_frame(
                 stacklevel=2,
             )
 
+    use_pallas = False if config.differentiable else None
     frame = state.frame
     surf, reproj, sky, bn_first, bn_second = _stage_prelude(
         scene, camera, state.prev_camera, state.prev_surface, frame, luts,
-        config.include_sky,
+        config.include_sky, use_pallas,
     )
 
     h, w = camera.height, camera.width
@@ -184,7 +191,7 @@ def render_frame(
     if config.needs_gi:
         gi_diff, gi_spec, gi_prev = _stage_gi(
             scene, camera, surf, state.prev_surface, reproj,
-            state.gi_prev, seed, frame, bn_second, luts,
+            state.gi_prev, seed, frame, bn_second, luts, use_pallas,
         )
 
     # --- denoising (SVGF on the diffuse channels; spec is not denoised,
@@ -218,13 +225,14 @@ def render_frame(
     return channels, new_state
 
 
-@partial(jax.jit, static_argnames=("include_sky",))
+@partial(jax.jit, static_argnames=("include_sky", "use_pallas"))
 def _stage_prelude(
-    scene, camera, prev_camera, prev_surface, frame, luts, include_sky
+    scene, camera, prev_camera, prev_surface, frame, luts, include_sky,
+    use_pallas=None,
 ):
     """G-buffer + reprojection map + miss-pixel sky + blue noise."""
     h, w = camera.height, camera.width
-    surf, velocity = primary_pass(scene, camera, prev_camera)
+    surf, velocity = primary_pass(scene, camera, prev_camera, use_pallas)
     reproj = build_reprojection_map(camera, surf, prev_surface, velocity)
 
     if include_sky:
@@ -264,14 +272,14 @@ def _stage_di(
     return di_mod.di_resolving(scene, camera, surf, c, sky)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("use_pallas",))
 def _stage_gi(
     scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-    bn_second, luts,
+    bn_second, luts, use_pallas=None,
 ):
     return gi_mod.gi_pipeline(
         scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-        bn_second, luts,
+        bn_second, luts, use_pallas,
     )
 
 

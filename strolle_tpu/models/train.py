@@ -101,6 +101,53 @@ def train_step(
     return loss, new_params, grads
 
 
+def restir_render_loss(
+    params: TrainableParams,
+    scene: Scene,
+    camera: Camera,
+    state,
+    target: jnp.ndarray,
+    seed,
+    config=None,
+    luts=None,
+):
+    """L2 image loss of ONE realtime ReSTIR+SVGF frame against `target`.
+
+    Differentiable end-to-end (BASELINE.md:22-23): gradients flow
+    through DI/GI resolve radiance, the temporal/spatial reservoir
+    payload selections (statistics detached by
+    restir.reservoir.resampling_weight's custom VJP), and the a-trous
+    filter (frozen-weight custom VJP, denoise.svgf._wavelet_core).
+    """
+    from .restir import RenderConfig, render_frame
+
+    if config is None:
+        config = RenderConfig(differentiable=True)
+    s = apply_params(scene, params)
+    channels, _ = render_frame(s, camera, state, seed, config, luts=luts)
+    diff = channels["image"] - target
+    return jnp.mean(diff * diff)
+
+
+def restir_train_step(
+    params: TrainableParams,
+    scene: Scene,
+    camera: Camera,
+    state,
+    target: jnp.ndarray,
+    seed,
+    lr: float = 0.05,
+    config=None,
+    luts=None,
+):
+    """One SGD step on scene parameters through the realtime pipeline."""
+    loss, grads = jax.value_and_grad(restir_render_loss)(
+        params, scene, camera, state, target, seed, config, luts
+    )
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return loss, new_params, grads
+
+
 @partial(jax.jit, static_argnames=("mesh", "depth"))
 def train_step_sharded(
     mesh,

@@ -80,6 +80,14 @@ def _load() -> ctypes.CDLL | None:
         lib.strolle_bvh_refit.restype = i
         lib.strolle_bvh_refit.argtypes = [f32p, i, f32p, f32p, i32p, i32p, i]
 
+        lib.strolle_bvh_ctx_new.restype = p
+        lib.strolle_bvh_ctx_free.argtypes = [p]
+        lib.strolle_bvh_build_incremental.restype = i
+        lib.strolle_bvh_build_incremental.argtypes = [
+            p, f32p, i, f32p, f32p, i32p, i32p, i32p, i,
+            ctypes.POINTER(i), ctypes.POINTER(i),
+        ]
+
         lib.strolle_alloc_new.restype = p
         lib.strolle_alloc_free.argtypes = [p]
         lib.strolle_alloc_take.restype = i64
@@ -139,6 +147,50 @@ def bvh_build(positions: np.ndarray):
         cmin[:n].copy(), cmax[:n].copy(), child[:n].copy(), count[:n].copy(),
         order.astype(np.int64), int(depth.value),
     )
+
+
+class BvhContext:
+    """Stateful incremental builder: cross-frame subtree-hash reuse
+    (strolle/src/bvh/builder.rs:204-279 ghost semantics). `build`
+    matches strolle_bvh_build's contract and additionally reports how
+    many node rows were copied from the previous frame's tree."""
+
+    def __init__(self):
+        lib = _load()
+        self._lib = lib
+        self._h = lib.strolle_bvh_ctx_new() if lib is not None else None
+        self.last_reused = 0
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.strolle_bvh_ctx_free(self._h)
+            self._h = None
+
+    def build(self, positions: np.ndarray):
+        if self._h is None:
+            return None
+        positions = np.ascontiguousarray(positions, np.float32)
+        t = positions.shape[0]
+        max_nodes = max(2 * t, 16)
+        cmin = np.empty((max_nodes, 2, 3), np.float32)
+        cmax = np.empty((max_nodes, 2, 3), np.float32)
+        child = np.empty((max_nodes, 2), np.int32)
+        count = np.empty((max_nodes, 2), np.int32)
+        order = np.empty((t,), np.int32)
+        depth = ctypes.c_int(0)
+        reused = ctypes.c_int(0)
+        n = self._lib.strolle_bvh_build_incremental(
+            self._h, positions.reshape(-1, 9), t, cmin.reshape(-1, 6),
+            cmax.reshape(-1, 6), child, count, order, max_nodes,
+            ctypes.byref(depth), ctypes.byref(reused),
+        )
+        if n < 0:
+            return None
+        self.last_reused = int(reused.value)
+        return (
+            cmin[:n].copy(), cmax[:n].copy(), child[:n].copy(),
+            count[:n].copy(), order.astype(np.int64), int(depth.value),
+        )
 
 
 def bvh_refit(

@@ -63,7 +63,10 @@ def ray_sphere(o, d, center, radius):
     b = vm.dot(oc, d)
     c = vm.dot(oc, oc) - radius * radius
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: d sqrt(0) = inf would leak NaN backward through the
+    # miss-lane where() below (tangent-sphere rays are routine)
+    pos = disc > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     t0 = -b - sq
     t1 = -b + sq
     t = jnp.where(t0 > 0.0, t0, t1)

@@ -86,9 +86,16 @@ def radiance(light: LightGather, surf) -> LightRadiance:
     """Light::radiance (light.rs:143-207) against a Surface pytree."""
     l_vec = light.pos - surf.point
 
-    # spot-angle falloff
+    # spot-angle falloff. The clip stays strictly inside (-1, 1):
+    # d/dx arccos(+-1) = inf, and a perfectly (anti)aligned direction —
+    # routine on point lights, whose f_angle where() discards the value
+    # but not the backward NaN — would poison position gradients.
     to_point = vm.normalize(surf.point - light.pos)
-    cosang = jnp.clip(vm.dot(vm.normalize(light.spot_dir), to_point), -1.0, 1.0)
+    cosang = jnp.clip(
+        vm.dot(vm.normalize(light.spot_dir), to_point),
+        -1.0 + 1e-6,
+        1.0 - 1e-6,
+    )
     angle = jnp.arccos(cosang)
     q = angle / jnp.maximum(light.spot_angle, 1e-6)
     spot_f = vm.saturate(1.0 - q * q * q)

@@ -30,7 +30,13 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def length(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
+    """NaN-safe under autodiff: d sqrt(0) = inf, and the double-where
+    keeps the zero-vector branch's cotangent at exactly 0 (degenerate
+    geometry — empty reservoirs, padded lights — must not poison scene
+    gradients)."""
+    n2 = dot(a, a)
+    pos = n2 > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, n2, 1.0)), 0.0)
 
 
 def length_squared(a: jnp.ndarray) -> jnp.ndarray:
@@ -74,8 +80,11 @@ def luma(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def perc_luma(rgb: jnp.ndarray) -> jnp.ndarray:
-    """Perceptual luminance = sqrt(luma) (reference: `perc_luma`)."""
-    return jnp.sqrt(jnp.maximum(luma(rgb), 0.0))
+    """Perceptual luminance = sqrt(luma) (reference: `perc_luma`).
+    Double-where keeps black-radiance gradients finite (d sqrt(0) = inf)."""
+    l = luma(rgb)
+    pos = l > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, l, 1.0)), 0.0)
 
 
 def with_luma(rgb: jnp.ndarray, new_luma: jnp.ndarray) -> jnp.ndarray:

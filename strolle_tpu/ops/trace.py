@@ -28,7 +28,24 @@ from .intersect import ray_triangle
 
 _BRUTE_CHUNK = 128
 #: Scenes up to this many triangles use brute force by default.
-BRUTE_FORCE_MAX_TRIS = 4096
+#: Measured on TPU v5e (xbench.py, 486k rays @800x608): the dense
+#: brute-force kernel beats packet-BVH traversal through 16k triangles
+#: on both coherent and incoherent rays (e.g. 16k coherent:
+#: 2.04 ms brute vs 3.30 ms BVH) — regular VPU compute outruns
+#: divergent traversal far past the GPU-intuition crossover.
+BRUTE_FORCE_MAX_TRIS = 16384
+
+#: The packet-BVH kernels hold the node + triangle arrays fully
+#: VMEM-resident; past this budget the Mosaic stack allocation
+#: overflows (~16 MB scoped VMEM on v5e). Bigger scenes fall back to
+#: the jnp traversal (HBM-streaming leaf DMA is future work).
+_BVH_KERNEL_VMEM_BUDGET = 12 * 2**20
+
+
+def _bvh_kernel_fits(scene: Scene) -> bool:
+    n_nodes = scene.bvh.child.shape[0]
+    n_rows = scene.geometry.num_triangles
+    return (n_nodes * 16 + n_rows * 28) * 4 <= _BVH_KERNEL_VMEM_BUDGET
 
 
 def _pad_tris(positions: jnp.ndarray, chunk: int):
@@ -227,6 +244,9 @@ def trace_surface(
         rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
 
     if big:
+        if not _bvh_kernel_fits(scene):
+            hit = trace_closest(scene, o, d)
+            return surface_at(scene, o, d, hit, regularize=regularize)
         from .pallas.bvh_kernels import bvh_trace_surface_pallas, pack_nodes
 
         out = bvh_trace_surface_pallas(pack_nodes(scene.bvh), rows, o, d)
@@ -292,7 +312,24 @@ def _trace_closest_opaque(scene: Scene, o, d) -> TriangleHit:
     if scene.bvh is not None and scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS:
         from ..bvh.traverse import trace_closest_bvh
 
-        return trace_closest_bvh(scene, o, d)
+        # The traversal's while_loop is not reverse-differentiable (and
+        # the winner is a discrete decision anyway): find the triangle
+        # under stop_gradient, then recompute t/u/v through it so
+        # gradients w.r.t. rays and vertex positions flow — the same
+        # detach-and-recompute the Pallas path uses.
+        sg = jax.lax.stop_gradient
+        hit = trace_closest_bvh(sg(scene), sg(o), sg(d))
+        verts = jnp.asarray(scene.geometry.positions)[jnp.maximum(hit.tri, 0)]
+        t2, u2, v2, _ = ray_triangle(
+            o, d, verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+        )
+        valid = hit.tri >= 0
+        return TriangleHit(
+            t=jnp.where(valid, t2, jnp.inf),
+            tri=hit.tri,
+            u=jnp.where(valid, u2, 0.0),
+            v=jnp.where(valid, v2, 0.0),
+        )
     if _pallas_available():
         return _trace_closest_pallas(scene, o, d)
     return trace_closest_brute(scene, o, d)
@@ -374,7 +411,7 @@ def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
 def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
     big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
     if scene.bvh is not None and big:
-        if _pallas_available():
+        if _pallas_available() and _bvh_kernel_fits(scene):
             from .pallas.bvh_kernels import bvh_trace_anyhit_pallas, pack_nodes
 
             rows = _packed_geom_rows(scene)
@@ -387,7 +424,12 @@ def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
             )
         from ..bvh.traverse import trace_anyhit_bvh
 
-        return trace_anyhit_bvh(scene, o, d, t_max)
+        # boolean occlusion: detach inputs so the traversal's while_loop
+        # never sees tangents under differentiation
+        sg = jax.lax.stop_gradient
+        return trace_anyhit_bvh(
+            sg(scene), sg(o), sg(d), sg(jnp.broadcast_to(t_max, o.shape[:-1]))
+        )
     if _pallas_available():
         return _trace_anyhit_pallas(scene, o, d, t_max)
     return trace_anyhit_brute(scene, o, d, t_max)

@@ -132,9 +132,13 @@ def merge(state, res: GiReservoirs, rhs: GiReservoirs, pdf, enabled=None):
 
 
 def _norm(res: GiReservoirs, pdf, denom_extra) -> GiReservoirs:
-    denom = pdf * denom_extra
-    w = jnp.where(denom == 0.0, 0.0, res.w / jnp.where(denom == 0.0, 1.0, denom))
-    return res.replace(w=w)
+    from .reservoir import resampling_weight
+
+    num = jnp.ones_like(res.w)
+    denom_extra = jnp.broadcast_to(
+        jnp.asarray(denom_extra, jnp.float32), res.w.shape
+    )
+    return res.replace(w=resampling_weight(res.w, pdf, num, denom_extra))
 
 
 def norm_mis(res, pdf):
@@ -270,6 +274,7 @@ def gi_sampling(
     seed_b,
     frame,
     luts=None,
+    use_pallas: bool | None = None,
 ) -> GiReservoirs:
     """gi_sampling_a + gi_sampling_b fused: trace the bounce ray (fresh
     BRDF sample on tracing frames; replayed reservoir ray on validation
@@ -299,7 +304,9 @@ def gi_sampling(
     # empty reservoirs when validating
     active = covered & jnp.where(tracing, surf.is_some, ~rep.is_empty)
 
-    gi_surf = trace_surface(scene, gi_origin, gi_dir, regularize=True)
+    gi_surf = trace_surface(
+        scene, gi_origin, gi_dir, regularize=True, use_pallas=use_pallas
+    )
 
     # --- part B: shade the secondary vertex ---------------------------
     state_fresh = rng.wnoise_new(seed_b, xs, ys)
@@ -369,6 +376,10 @@ def gi_sampling(
     light_id = jnp.where(miss, -1, light_id)
     light_pdf = jnp.where(miss, 1.0, light_pdf)
     light_rad = jnp.where(miss[..., None], _sky(luts, sun, gi_dir), light_rad)
+    # The NEE/RIS sampling pdf is a sampling statistic: detached, like
+    # the resampling weights (reservoir.resampling_weight) — gradients
+    # follow the sampled radiance straight-through.
+    light_pdf = jax.lax.stop_gradient(light_pdf)
 
     # shadow ray at the secondary vertex
     lg = gather_light(scene.lights, jnp.maximum(light_id, 0))
@@ -725,6 +736,7 @@ def gi_pipeline(
     frame,
     bnoise_second,
     luts=None,
+    use_pallas: bool | None = None,
 ):
     """Full per-frame GI schedule (camera_controller.rs:129-167)."""
     from ..models.restir import derive_seed
@@ -739,7 +751,7 @@ def gi_pipeline(
     # except the even/odd tracing skip, handled by zeroing the candidate.
     cand = gi_sampling(
         scene, camera, surf, rep, derive_seed(seed, 10), derive_seed(seed, 11),
-        frame, luts,
+        frame, luts, use_pallas,
     )
     skip_sampling = tracing & ((frame_i % 2) == 1)
     cand = select(

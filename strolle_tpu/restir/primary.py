@@ -54,7 +54,8 @@ class Reprojection:
         )
 
 
-def primary_pass(scene: Scene, camera: Camera, prev_camera: Camera):
+def primary_pass(scene: Scene, camera: Camera, prev_camera: Camera,
+                 use_pallas: bool | None = None):
     """Ray-cast primary visibility.
 
     Returns (surface: Surface[H,W], velocity f32[H,W,2]). Velocity =
@@ -67,7 +68,7 @@ def primary_pass(scene: Scene, camera: Camera, prev_camera: Camera):
     """
     grid = screen_grid(camera)
     o, d = pixel_rays(camera, grid)
-    surf = trace_surface(scene, o, d)
+    surf = trace_surface(scene, o, d, use_pallas=use_pallas)
 
     curr_x, curr_y = world_to_screen_xy(camera, surf.point)
     if scene.motion is not None:

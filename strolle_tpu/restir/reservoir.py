@@ -9,6 +9,7 @@ functions (the di[0..2] wiring of SURVEY.md §3.3 becomes dataflow).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import math as vm, rng
@@ -16,6 +17,35 @@ from ..utils.pytree import pytree_dataclass
 
 #: LightId::sky() analogue; -1 keeps gathers in-bounds-clampable.
 LIGHT_SKY = -1
+
+
+@jax.custom_jvp
+def resampling_weight(w, pdf, norm_num, norm_denom):
+    """ReSTIR unbiased-contribution weight W = w*num/(pdf*denom) with
+    the BASELINE-required custom differentiation rule for reservoir
+    resampling: its derivative is defined as ZERO. The resampling
+    statistics (RIS weight sums, MIS weights, target pdfs) are treated
+    as fixed decisions; gradients flow straight-through the selected
+    sample's continuous radiance instead (SURVEY.md §7.5). A naive
+    autodiff through the weight chain is both high-variance and
+    NaN-prone (divisions by target pdfs that can approach 0).
+
+    Implementation note: expressed as a custom JVP with a symbolic-zero
+    tangent rather than a custom VJP whose bwd materializes zero
+    cotangents — reverse-mode transposition then propagates symbolic
+    zeros, where the materialized-zeros form drove XLA:CPU's kernel
+    emitter into an "Unknown MLIR failure" when fused into the DI
+    sampling loop's backward program (jax 0.9.0)."""
+    denom = pdf * norm_denom
+    return jnp.where(
+        denom == 0.0, 0.0, w * norm_num / jnp.where(denom == 0.0, 1.0, denom)
+    )
+
+
+@resampling_weight.defjvp
+def _resampling_weight_jvp(primals, tangents):
+    out = resampling_weight(*primals)
+    return out, jnp.zeros_like(out)
 
 
 @pytree_dataclass
@@ -129,9 +159,11 @@ def clamp_w(res: DiReservoirs, max_w: float) -> DiReservoirs:
 
 
 def norm(res: DiReservoirs, pdf, norm_num, norm_denom) -> DiReservoirs:
-    denom = pdf * norm_denom
-    new_w = jnp.where(denom == 0.0, 0.0, res.w * norm_num / jnp.where(denom == 0.0, 1.0, denom))
-    return res.replace(w=new_w)
+    norm_num = jnp.broadcast_to(jnp.asarray(norm_num, jnp.float32), res.w.shape)
+    norm_denom = jnp.broadcast_to(
+        jnp.asarray(norm_denom, jnp.float32), res.w.shape
+    )
+    return res.replace(w=resampling_weight(res.w, pdf, norm_num, norm_denom))
 
 
 def norm_avg(res: DiReservoirs, pdf) -> DiReservoirs:

@@ -138,7 +138,15 @@ class SceneEditor:
         #: quality (refitted boxes only grow; a periodic rebuild re-splits)
         self.max_refit_streak = 15
         #: per-editor counters ("tick.bvh" build vs refit path hits)
-        self.stats = {"bvh_rebuilds": 0, "bvh_refits": 0}
+        self.stats = {
+            "bvh_rebuilds": 0,
+            "bvh_refits": 0,
+            "bvh_nodes_reused": 0,
+        }
+        #: incremental-rebuild context (subtree-hash ghost reuse,
+        #: builder.rs:204-279); lazily created, None when native is out
+        self._bvh_ctx = None
+        self._bvh_ctx_tried = False
         self._bvh = None
         self._geometry: Geometry | None = None
 
@@ -574,7 +582,15 @@ class SceneEditor:
         mid = np.concatenate(parts_m)
         iid = np.concatenate(parts_i)
 
-        arrays, order = build_bvh(pos)
+        if not self._bvh_ctx_tried:
+            self._bvh_ctx_tried = True
+            from .. import native
+
+            if native.available():
+                self._bvh_ctx = native.BvhContext()
+        arrays, order = build_bvh(pos, ctx=self._bvh_ctx)
+        if self._bvh_ctx is not None:
+            self.stats["bvh_nodes_reused"] += self._bvh_ctx.last_reused
         pos, nrm, uv, mid = pos[order], nrm[order], uv[order], mid[order]
         iid = iid[order]
 

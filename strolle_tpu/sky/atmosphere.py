@@ -496,21 +496,33 @@ def sample_sky_lut(luts: AtmosphereLuts, ray_dir, sun_dir):
             1.0,
         )
     )
+    # clips stay strictly inside (-1, 1) and arctan2 inputs are swapped
+    # to a safe dummy on the degenerate branches: arccos'(+-1) and
+    # arctan2 at (0, 0) are inf/NaN, and vertical/horizon rays are
+    # routine — the where() hides the value but not the backward NaN.
     dot_up = vm.dot(ray_dir, jnp.broadcast_to(up, ray_dir.shape))
-    altitude = horizon - jnp.arccos(jnp.clip(dot_up, -1.0, 1.0))
+    altitude = horizon - jnp.arccos(
+        jnp.clip(dot_up, -1.0 + 1e-6, 1.0 - 1e-6)
+    )
 
     right = vm.cross(sun_dir, jnp.broadcast_to(up, sun_dir.shape))
     forward = vm.cross(jnp.broadcast_to(up, right.shape), right)
     projected = vm.normalize(ray_dir - up * dot_up[..., None])
     sin_th = vm.dot(projected, right)
     cos_th = vm.dot(projected, forward)
+    vertical = jnp.abs(altitude) > (0.5 * jnp.pi - 1e-4)
+    degenerate = vertical | ((sin_th == 0.0) & (cos_th == 0.0))
     azimuth = jnp.where(
-        jnp.abs(altitude) > (0.5 * jnp.pi - 1e-4),
+        vertical,
         0.0,
-        jnp.arctan2(sin_th, cos_th) + jnp.pi,
+        jnp.arctan2(
+            jnp.where(degenerate, 0.0, sin_th),
+            jnp.where(degenerate, 1.0, cos_th),
+        )
+        + jnp.pi,
     )
     u = azimuth / (2.0 * jnp.pi)
-    s = jnp.sqrt(jnp.abs(altitude) * 2.0 / jnp.pi)
+    s = jnp.sqrt(jnp.maximum(jnp.abs(altitude) * 2.0 / jnp.pi, 1e-12))
     v = 0.5 + 0.5 * jnp.where(altitude >= 0.0, s, -s)
     return _bilinear(luts.sky, u, v)
 

@@ -1,0 +1,86 @@
+"""Dungeon-scene oracle coverage (BASELINE.md:20-21 names the dungeon
+explicitly): the 8.4k-triangle textured scene exercises the BVH
+traversal, atlas sampling, and alpha paths that Cornell never touches."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from strolle_tpu.bvh import scene_with_bvh
+from strolle_tpu.models.reference import trace_sample
+from strolle_tpu.scene.demo import dungeon, dungeon_camera
+
+
+@pytest.fixture(scope="module")
+def dg():
+    return scene_with_bvh(dungeon())
+
+
+def test_dungeon_bvh_matches_brute_force(dg, monkeypatch):
+    """A 1-spp render through the BVH traversal must match the same
+    render with the acceleration structure stripped (brute force) —
+    pixel allclose up to rare triangle-edge rounding flips. The brute
+    gate is lowered so the 8.4k-tri dungeon actually takes the BVH path
+    (the measured default keeps it on the dense kernel, ops/trace.py)."""
+    import strolle_tpu.ops.trace as trace_mod
+
+    cam = dungeon_camera(32, 24)
+    monkeypatch.setattr(trace_mod, "BRUTE_FORCE_MAX_TRIS", 1024)
+    with_bvh = np.asarray(
+        trace_sample(dg, cam, jnp.uint32(5), depth=1, include_sky=False)
+    )
+    monkeypatch.setattr(trace_mod, "BRUTE_FORCE_MAX_TRIS", 10**9)
+    brute = np.asarray(
+        trace_sample(
+            dg.replace(bvh=None), cam, jnp.uint32(5), depth=1,
+            include_sky=False,
+        )
+    )
+    diff = np.abs(with_bvh - brute).max(axis=-1)
+    assert (diff <= 1e-3).mean() > 0.99, (diff > 1e-3).mean()
+    assert abs(with_bvh.mean() - brute.mean()) < 5e-3
+
+
+def test_dungeon_accumulation_converges(dg):
+    """Accumulated reference render is finite, textured (spatial color
+    variation from the atlas), and stable across accumulation."""
+    from strolle_tpu.models.reference import init_accumulator, render_reference
+
+    cam = dungeon_camera(32, 24)
+    acc = init_accumulator(cam)
+    for s in range(8):
+        img, acc = render_reference(
+            dg, cam, acc, jnp.uint32(s), depth=2, include_sky=False
+        )
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    assert a.mean() > 1e-3  # lights actually illuminate the level
+    # texture variation: per-pixel albedo differs across the image
+    assert a.std() > 0.01
+
+
+def test_dungeon_grad_finite_difference():
+    """Gradient allclose on the dungeon (BASELINE.md:20-21): FD check of
+    the image loss w.r.t. a light color through the textured scene."""
+    from strolle_tpu.models.train import (
+        params_from_scene, render_loss,
+    )
+
+    scene = scene_with_bvh(dungeon())
+    cam = dungeon_camera(16, 12)
+    params = params_from_scene(scene)
+    target = jnp.zeros((12, 16, 3), jnp.float32)
+
+    def loss(p):
+        return render_loss(p, scene, cam, target, jnp.uint32(3), depth=1)
+
+    grads = jax.grad(loss)(params)
+    index = (0, 0)  # first light, red channel
+    g = float(grads.light_color[index])
+    eps = 5e-2
+    up = params.replace(light_color=params.light_color.at[index].add(eps))
+    dn = params.replace(light_color=params.light_color.at[index].add(-eps))
+    fd = (float(loss(up)) - float(loss(dn))) / (2 * eps)
+    assert abs(g) > 0
+    assert np.isclose(g, fd, rtol=0.05, atol=1e-5), (g, fd)

@@ -179,3 +179,80 @@ def test_build_bvh_dispatcher_returns_bvharrays():
     arrays, order = build_bvh(pos)
     assert isinstance(arrays, BvhArrays)
     assert arrays.child.shape[0] == arrays.child_min.shape[0]
+
+
+def test_incremental_build_reuses_subtrees():
+    """Subtree-hash ghost reuse (builder.rs:204-279): rebuilding after a
+    partial change copies unchanged subtrees, and the reused tree is
+    exactly as valid as a fresh one."""
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rs = np.random.RandomState(11)
+    # big static cluster near the origin + a small far-away cluster
+    stat = rs.uniform(-2, 2, (600, 1, 3)).astype(np.float32) + rs.uniform(
+        -0.2, 0.2, (600, 3, 3)
+    ).astype(np.float32)
+    dyn0 = (rs.uniform(-0.5, 0.5, (24, 3, 3)) + [20, 0, 0]).astype(np.float32)
+    dyn1 = (rs.uniform(-0.5, 0.5, (24, 3, 3)) + [20, 3, 0]).astype(np.float32)
+
+    ctx = native.BvhContext()
+    out0 = ctx.build(np.concatenate([stat, dyn0]))
+    assert out0 is not None
+    assert ctx.last_reused == 0  # first build: nothing to reuse
+
+    pos1 = np.concatenate([stat, dyn1])
+    out1 = ctx.build(pos1)
+    assert out1 is not None
+    assert ctx.last_reused > 50, ctx.last_reused  # static cluster copied
+
+    # the reused tree must be valid: every leaf box contains its tris
+    cmin, cmax, child, count, order, _ = out1
+    reordered = pos1[order]
+    _check_valid(reordered, cmin, cmax, child, count,
+                 np.arange(len(reordered), dtype=np.int64))
+
+    # and identical trace results vs a context-free fresh build
+    from strolle_tpu.bvh.builder import BvhArrays
+    from strolle_tpu.bvh.traverse import trace_closest_bvh
+    from strolle_tpu.scene.types import Scene, make_lights, make_materials
+    from strolle_tpu.scene.types import Geometry
+    import jax.numpy as jnp
+
+    def scene_of(arrs, ordr):
+        geom = Geometry(
+            positions=pos1[ordr],
+            normals=np.zeros_like(pos1),
+            uvs=np.zeros((len(pos1), 3, 2), np.float32),
+            tangents=np.zeros((len(pos1), 3, 4), np.float32),
+            material_id=np.zeros(len(pos1), np.int32),
+        )
+        return Scene(
+            geometry=geom, materials=make_materials([{}]),
+            lights=make_lights([]), atlas=None,
+            sun_azimuth=jnp.asarray(0.0, jnp.float32),
+            sun_altitude=jnp.asarray(-1.0, jnp.float32),
+            bvh=BvhArrays(
+                child_min=arrs[0], child_max=arrs[1], child=arrs[2],
+                child_count=arrs[3], max_depth=max(arrs[5], 48),
+            ),
+        )
+
+    fresh = native.bvh_build(pos1)
+    sc_inc = scene_of(out1, order)
+    sc_fresh = scene_of(fresh, fresh[4])
+
+    rs2 = np.random.RandomState(3)
+    o = jnp.asarray(rs2.uniform(-3, 3, (128, 3)).astype(np.float32))
+    d = rs2.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    h_inc = trace_closest_bvh(sc_inc, o, d)
+    h_fresh = trace_closest_bvh(sc_fresh, o, d)
+    ti = np.where(np.isfinite(np.asarray(h_inc.t)), np.asarray(h_inc.t), 1e30)
+    tf = np.where(
+        np.isfinite(np.asarray(h_fresh.t)), np.asarray(h_fresh.t), 1e30
+    )
+    assert np.allclose(ti, tf, atol=1e-4)

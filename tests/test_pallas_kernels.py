@@ -108,3 +108,58 @@ def test_ref_megakernel_matches_oracle():
     diff = np.abs(np.asarray(got) - np.asarray(want)).max(axis=-1)
     assert (diff <= 2e-3).mean() > 0.99, (diff > 2e-3).mean()
     assert abs(np.asarray(got).mean() - np.asarray(want).mean()) < 5e-3
+
+
+def test_ref_megakernel_spot_and_range_lights_match_oracle():
+    """The three copies of the shading math (jnp oracle, megakernel,
+    surface kernel) agree on Cornell, but Cornell exercises neither
+    spot-angle falloff nor finite-range attenuation — pin those too
+    (light.rs:143-207 semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strolle_tpu.camera import pixel_rays, screen_grid
+    from strolle_tpu.models.reference import (
+        _sample_pixels_megakernel,
+        sample_pixels,
+    )
+    from strolle_tpu.ops import rng
+    from strolle_tpu.scene.cornell import cornell_box, cornell_camera
+    from strolle_tpu.scene.types import LIGHT_SPOT, make_lights
+
+    scene = cornell_box()
+    lights = make_lights(
+        [
+            {  # downward spot over the left box
+                "pos": [-0.4, 0.9, -0.3],
+                "radius": 0.03,
+                "color": [4.0, 3.5, 3.0],
+                "kind": LIGHT_SPOT,
+                "spot_dir": [0.0, -1.0, 0.0],
+                "spot_angle": 0.7,
+                "range": np.inf,
+            },
+            {  # finite-range point light near the right wall
+                "pos": [0.6, 0.3, 0.2],
+                "radius": 0.02,
+                "color": [2.0, 2.0, 2.5],
+                "range": 1.2,
+            },
+        ]
+    )
+    scene = scene.replace(lights=lights)
+    camera = cornell_camera(48, 32)
+    grid = screen_grid(camera)
+    seed = jnp.uint32(21)
+
+    want = sample_pixels(
+        scene, camera, grid, seed, depth=1, include_sky=False,
+        use_pallas=False,
+    )
+    o, d = pixel_rays(camera, grid)
+    state = rng.wnoise_new(seed, grid[..., 0], grid[..., 1])
+    got = _sample_pixels_megakernel(scene, o, d, state, depth=1, interpret=True)
+
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max(axis=-1)
+    assert (diff <= 2e-3).mean() > 0.99, (diff > 2e-3).mean()
+    assert abs(np.asarray(got).mean() - np.asarray(want).mean()) < 5e-3

@@ -116,3 +116,65 @@ def test_full_pipeline_no_nans_over_cycle():
         ch, state = render_frame(scene, cam, state, jnp.uint32(f + 1), cfg)
         for k, v in ch.items():
             assert bool(jnp.isfinite(v).all()), f"frame {f} channel {k}"
+
+
+def test_restir_gi_matches_one_bounce_indirect_oracle():
+    """GI-only ReSTIR (no denoise), temporally averaged, must converge
+    to the reference tracer's one-bounce indirect lighting
+    (depth1 - depth0 renders with matched seeds). Catches plumbing
+    swaps in the gi[0..3] rotation / 6-frame schedule (SURVEY §7.8.3):
+    a wrong source reservoir biases brightness or decorrelates the
+    spatial structure."""
+    scene = cornell_box()
+    # 48x48 matches the DI-oracle test's shape so the per-stage jitted
+    # programs (prelude/compose/trace depth-0) are compile-cache hits
+    cam = cornell_camera(48, 48)
+
+    cfg = RenderConfig(denoise=False, needs_di=False, needs_gi=True)
+    state = init_state(cam)
+    acc = None
+    frames = 60  # 10 full 6-frame GI cycles
+    for f in range(frames):
+        ch, state = render_frame(scene, cam, state, jnp.uint32(7 * f + 3), cfg)
+        acc = ch["image"] if acc is None else acc + ch["image"]
+    restir = np.asarray(acc) / frames
+
+    # subtract the emissive-only composition to isolate indirect light
+    cfg0 = RenderConfig(denoise=False, needs_di=False, needs_gi=False)
+    ch0, _ = render_frame(scene, cam, init_state(cam), jnp.uint32(1), cfg0)
+    restir_ind = restir - np.asarray(ch0["image"])
+
+    d1 = np.zeros_like(restir)
+    d0 = np.zeros_like(restir)
+    n_ref = 80
+    for s in range(n_ref):
+        d1 += np.asarray(
+            trace_sample(scene, cam, jnp.uint32(s), depth=1, include_sky=False)
+        )
+        d0 += np.asarray(
+            trace_sample(scene, cam, jnp.uint32(s), depth=0, include_sky=False)
+        )
+    oracle_ind = (d1 - d0) / n_ref
+
+    r = restir_ind[4:-4, 4:-4]
+    g = oracle_ind[4:-4, 4:-4]
+    rel = np.abs(r.mean() - g.mean()) / g.mean()
+    assert rel < 0.1, f"mean indirect brightness off by {rel:.3f}"
+    # color-bleed structure: the left half is red-dominant (red wall),
+    # the right half green-dominant; per-half per-channel means within
+    # 15% of the oracle catch any gi[0..3] source swap
+    h, w = r.shape[:2]
+    for sl in (np.s_[:, : w // 2], np.s_[:, w // 2 :]):
+        rm = r[sl].mean(axis=(0, 1))
+        gm = g[sl].mean(axis=(0, 1))
+        assert (np.abs(rm - gm) / np.maximum(gm, 1e-3) < 0.15).all(), (rm, gm)
+    # ReSTIR's spatial reuse (radius 128 px on a 40 px image) smooths
+    # fine-grain structure; compare at 4x downsampling instead
+    k = 4
+    hh, ww = h // k * k, w // k * k
+
+    def ds(a):
+        return a[:hh, :ww].reshape(hh // k, k, ww // k, k, 3).mean(axis=(1, 3))
+
+    corr = np.corrcoef(ds(r).flatten(), ds(g).flatten())[0, 1]
+    assert corr > 0.9, f"downsampled correlation {corr:.3f}"

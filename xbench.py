@@ -1,0 +1,108 @@
+"""Crossover sweep: brute-force megakernel vs packet-BVH kernel.
+
+Measures trace_surface throughput on both strategies across triangle
+counts to place BRUTE_FORCE_MAX_TRIS (ops/trace.py) with data instead
+of a guess. Runs on the default backend (the real TPU chip under the
+driver).
+
+Run: python xbench.py [sizes ...]   (default 1024 2048 4096 8192 16384)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def soup_scene(n_tris: int, seed: int = 7):
+    from strolle_tpu.bvh.builder import build_bvh
+    from strolle_tpu.scene.types import (
+        Geometry, Scene, make_lights, make_materials,
+    )
+
+    rs = np.random.RandomState(seed)
+    centers = rs.uniform(-4.0, 4.0, (n_tris, 1, 3)).astype(np.float32)
+    verts = centers + rs.uniform(-0.3, 0.3, (n_tris, 3, 3)).astype(np.float32)
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    arrays, order = build_bvh(verts)
+    geom = Geometry(
+        positions=verts[order],
+        normals=np.repeat(n[:, None, :], 3, axis=1)[order],
+        uvs=np.zeros((n_tris, 3, 2), np.float32),
+        tangents=np.zeros((n_tris, 3, 4), np.float32),
+        material_id=np.zeros(n_tris, np.int32),
+    )
+    return Scene(
+        geometry=geom,
+        materials=make_materials([{}]),
+        lights=make_lights([]),
+        atlas=None,
+        sun_azimuth=jnp.asarray(0.0, jnp.float32),
+        sun_altitude=jnp.asarray(-1.0, jnp.float32),
+        bvh=arrays,
+    )
+
+
+def rays(w=800, h=608, coherent=True):
+    if coherent:
+        # camera-style primaries: one origin, smoothly varying dirs
+        from strolle_tpu.camera import make_camera, primary_rays
+
+        cam = make_camera((0, 0, 12), (0, 0, 0), width=w, height=h)
+        return primary_rays(cam)
+    rs = np.random.RandomState(0)
+    o = jnp.asarray(rs.uniform(-5, 5, (h, w, 3)).astype(np.float32))
+    d = rs.normal(size=(h, w, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def time_strategy(scene, o, d, force: str) -> float:
+    """Returns ms per trace_surface call under the given strategy."""
+    import strolle_tpu.ops.trace as T
+
+    old = T.BRUTE_FORCE_MAX_TRIS
+    T.BRUTE_FORCE_MAX_TRIS = 10**9 if force == "brute" else 0
+    try:
+        fn = jax.jit(lambda s, o, d: T.trace_surface(s, o, d))
+        out = fn(scene, o, d)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fn(scene, o, d)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / 5)
+        return best * 1e3
+    finally:
+        T.BRUTE_FORCE_MAX_TRIS = old
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [1024, 2048, 4096, 8192, 16384]
+    for coherent in (True, False):
+        o, d = rays(coherent=coherent)
+        n_rays = o.shape[0] * o.shape[1]
+        print(("coherent camera rays" if coherent else "incoherent rays")
+              + f" ({n_rays} rays)")
+        print(f"{'tris':>7} {'brute ms':>9} {'bvh ms':>9} {'winner':>7} "
+              f"{'bvh Mrays/s':>12}")
+        for n in sizes:
+            scene = soup_scene(n)
+            brute = time_strategy(scene, o, d, "brute")
+            bvh = time_strategy(scene, o, d, "bvh")
+            winner = "brute" if brute < bvh else "bvh"
+            print(f"{n:>7} {brute:>9.2f} {bvh:>9.2f} {winner:>7} "
+                  f"{n_rays / (bvh * 1e-3) / 1e6:>12.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
