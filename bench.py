@@ -22,6 +22,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_strolle")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 WIDTH, HEIGHT = 800, 608  # 800x600 rounded to row-tile multiple
 DEPTH = 4  # bounces after the primary hit
 FRAMES = 8
@@ -35,6 +38,9 @@ def rays_per_frame(width: int, height: int, depth: int) -> int:
     return width * height * (depth + 1) * 2
 
 
+TRIALS = 3  # best-of: the tunneled chip shows 1.5-2x run-to-run jitter
+
+
 def bench_reference(scene, camera, depth=DEPTH, frames=FRAMES,
                     include_sky=False):
     from strolle_tpu.models.reference import render_reference, init_accumulator
@@ -45,16 +51,18 @@ def bench_reference(scene, camera, depth=DEPTH, frames=FRAMES,
         include_sky=include_sky,
     )
     img.block_until_ready()
-    t0 = time.perf_counter()
-    for f in range(frames):
-        img, acc = render_reference(
-            scene, camera, acc, jnp.uint32(f + 1), depth=depth,
-            include_sky=include_sky,
-        )
-    img.block_until_ready()
-    dt = time.perf_counter() - t0
-    ms = dt / frames * 1e3
-    mrays = rays_per_frame(camera.width, camera.height, depth) * frames / dt / 1e6
+    best = float("inf")
+    for trial in range(TRIALS):
+        t0 = time.perf_counter()
+        for f in range(frames):
+            img, acc = render_reference(
+                scene, camera, acc, jnp.uint32(f + 1), depth=depth,
+                include_sky=include_sky,
+            )
+        img.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    ms = best / frames * 1e3
+    mrays = rays_per_frame(camera.width, camera.height, depth) * frames / best / 1e6
     return mrays, ms
 
 
@@ -65,13 +73,16 @@ def bench_realtime(scene, camera, frames=20, include_sky=False, luts=None):
     state = init_state(camera)
     ch, state = render_frame(scene, camera, state, jnp.uint32(0), cfg, luts=luts)
     ch["image"].block_until_ready()
-    t0 = time.perf_counter()
-    for f in range(frames):
-        ch, state = render_frame(
-            scene, camera, state, jnp.uint32(f + 1), cfg, luts=luts
-        )
-    ch["image"].block_until_ready()
-    return (time.perf_counter() - t0) / frames * 1e3
+    best = float("inf")
+    for trial in range(TRIALS):
+        t0 = time.perf_counter()
+        for f in range(frames):
+            ch, state = render_frame(
+                scene, camera, state, jnp.uint32(f + 1), cfg, luts=luts
+            )
+        ch["image"].block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best / frames * 1e3
 
 
 def main() -> None:

@@ -12,9 +12,17 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+# XLA:CPU AOT cache reloads log spurious feature-mismatch ERRORs (the
+# +prefer-no-gather pseudo-features are compile options, not ISA bits)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu"
+
+# Persistent compile cache: the suite re-jits the same stage programs
+# every run; caching cuts reruns from minutes to seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_strolle")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
