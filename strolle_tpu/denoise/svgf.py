@@ -105,6 +105,7 @@ def temporal_reproject(
     surf: Surface,
     reproj: Reprojection,
     state: DenoiserState,
+    history_clamp: float = HISTORY_CLAMP,
 ):
     """Returns (color [H,W,3], moments [H,W,3])."""
     sky = ~surf.is_some
@@ -115,7 +116,7 @@ def temporal_reproject(
     prev_moments = bilinear_reproject(reproj, state.prev_moments)
 
     use_hist = reproj.is_some & (samples[..., 3] > 0.0) & ~sky
-    history = jnp.minimum(prev_moments[..., 0] + 1.0, HISTORY_CLAMP)
+    history = jnp.minimum(prev_moments[..., 0] + 1.0, history_clamp)
     alpha = 1.0 / jnp.maximum(history, 1.0)
 
     color = vm.lerp(prev_color, sample_rgb, alpha[..., None])
@@ -134,7 +135,8 @@ def temporal_reproject(
     return color, moments
 
 
-def estimate_variance(color, moments, surf: Surface):
+def estimate_variance(color, moments, surf: Surface,
+                      min_history: float = VARIANCE_MIN_HISTORY):
     """Returns variance [H, W] (alpha channel of the wavelet input)."""
     sky = ~surf.is_some
     luma = vm.luma(color)
@@ -165,7 +167,7 @@ def estimate_variance(color, moments, surf: Surface):
     var_spatial = jnp.abs(m2 - m1 * m1) * 4.0
 
     var = jnp.where(
-        moments[..., 0] >= VARIANCE_MIN_HISTORY, var_temporal, var_spatial
+        moments[..., 0] >= min_history, var_temporal, var_spatial
     )
     return jnp.where(sky, 0.0, jnp.maximum(var, 0.0))
 
@@ -341,10 +343,17 @@ def denoise_channel(
     state: DenoiserState,
     frame,
     kind: str = "di",
+    tuning=None,
 ):
     """Full SVGF chain for one channel. Returns (rgb, new state)."""
-    color, moments = temporal_reproject(samples, surf, reproj, state)
-    var = estimate_variance(color, moments, surf)
+    from ..config import DEFAULT_TUNING
+
+    tuning = tuning or DEFAULT_TUNING
+    color, moments = temporal_reproject(
+        samples, surf, reproj, state, tuning.svgf_history_clamp
+    )
+    var = estimate_variance(color, moments, surf,
+                            tuning.svgf_variance_min_history)
 
     h, w = var.shape
     _, _, bn_x, bn_y = bluenoise.sample_pair_screen(h, w, frame)
@@ -353,7 +362,7 @@ def denoise_channel(
 
     sigma_ab = LUMA_SIGMA[kind]
     new_prev_color = None
-    for nth in range(WAVELET_PASSES):
+    for nth in range(tuning.svgf_wavelet_passes):
         stride = 2**nth
         strength = float(1 + nth)
         amp = (stride - 1.0) * 0.5

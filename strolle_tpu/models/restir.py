@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import Camera, screen_grid
+from ..config import DEFAULT_TUNING, Tuning
 from ..denoise.svgf import DenoiserState, denoise_channel
 from ..ops import bluenoise, rng
 from ..ops.hit import Surface
@@ -59,6 +60,10 @@ class RenderConfig:
     # denoise.svgf._wavelet_core: resampling statistics and a-trous
     # weights are detached; radiance is differentiated straight-through.
     differentiable: bool = False
+    #: Algorithmic knobs (SURVEY.md §5.6); defaults are reference-exact.
+    #: Hashable + static under jit: each distinct Tuning traces its own
+    #: stage programs, so knobs cost nothing at runtime.
+    tuning: Tuning = DEFAULT_TUNING
 
 
 @pytree_dataclass
@@ -186,12 +191,13 @@ def render_frame(
     if config.needs_di:
         di_diff, di_spec, di_prev = _stage_di(
             scene, camera, surf, state.prev_surface, reproj,
-            state.di_prev, seed, frame, bn_first, sky,
+            state.di_prev, seed, frame, bn_first, sky, config.tuning,
         )
     if config.needs_gi:
         gi_diff, gi_spec, gi_prev = _stage_gi(
             scene, camera, surf, state.prev_surface, reproj,
             state.gi_prev, seed, frame, bn_second, luts, use_pallas,
+            config.tuning,
         )
 
     # --- denoising (SVGF on the diffuse channels; spec is not denoised,
@@ -200,13 +206,15 @@ def render_frame(
     gi_den = state.gi_diff_denoiser
     if config.denoise and config.needs_di:
         di_diff_rgb, di_den = _stage_denoise(
-            di_diff, surf, reproj, state.di_diff_denoiser, frame, "di"
+            di_diff, surf, reproj, state.di_diff_denoiser, frame, "di",
+            config.tuning,
         )
     else:
         di_diff_rgb = di_diff[..., :3]
     if config.denoise and config.needs_gi:
         gi_diff_rgb, gi_den = _stage_denoise(
-            gi_diff, surf, reproj, state.gi_diff_denoiser, frame, "gi"
+            gi_diff, surf, reproj, state.gi_diff_denoiser, frame, "gi",
+            config.tuning,
         )
     else:
         gi_diff_rgb = gi_diff[..., :3]
@@ -257,35 +265,42 @@ def _stage_prelude(
     return surf, reproj, sky, bn_first, bn_second
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("tuning",))
 def _stage_di(
     scene, camera, surf, prev_surface, reproj, di_prev, seed, frame,
-    bn_first, sky,
+    bn_first, sky, tuning=DEFAULT_TUNING,
 ):
     """The four DI passes as one program (measured ~1 ms at 800x608)."""
-    a = di_mod.di_sampling(scene, camera, surf, derive_seed(seed, 0), bn_first)
+    a = di_mod.di_sampling(
+        scene, camera, surf, derive_seed(seed, 0), bn_first, tuning
+    )
     b = di_mod.di_temporal(
         scene, camera, surf, prev_surface, reproj, a, di_prev,
-        derive_seed(seed, 1),
+        derive_seed(seed, 1), tuning,
     )
-    c = di_mod.di_spatial(scene, camera, surf, b, derive_seed(seed, 2), frame)
+    c = di_mod.di_spatial(
+        scene, camera, surf, b, derive_seed(seed, 2), frame, tuning
+    )
     return di_mod.di_resolving(scene, camera, surf, c, sky)
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
+@partial(jax.jit, static_argnames=("use_pallas", "tuning"))
 def _stage_gi(
     scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-    bn_second, luts, use_pallas=None,
+    bn_second, luts, use_pallas=None, tuning=DEFAULT_TUNING,
 ):
     return gi_mod.gi_pipeline(
         scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-        bn_second, luts, use_pallas,
+        bn_second, luts, use_pallas, tuning,
     )
 
 
-@partial(jax.jit, static_argnames=("kind",))
-def _stage_denoise(samples, surf, reproj, den_state, frame, kind):
-    return denoise_channel(samples, surf, reproj, den_state, frame, kind=kind)
+@partial(jax.jit, static_argnames=("kind", "tuning"))
+def _stage_denoise(samples, surf, reproj, den_state, frame, kind,
+                   tuning=DEFAULT_TUNING):
+    return denoise_channel(
+        samples, surf, reproj, den_state, frame, kind=kind, tuning=tuning
+    )
 
 
 @jax.jit

@@ -48,6 +48,33 @@ def _bvh_kernel_fits(scene: Scene) -> bool:
     return (n_nodes * 16 + n_rows * 28) * 4 <= _BVH_KERNEL_VMEM_BUDGET
 
 
+#: Large-scene kernel strategy: "stream" (HBM-streaming cluster-culled
+#: brute force, the measured winner at every size — see
+#: ops/pallas/stream_kernels.py; unbounded by VMEM), "cluster"
+#: (VMEM-resident cluster culling), "packet" (shared-stack packet
+#: traversal), or "jnp" (XLA while-loop traversal). xbench.py
+#: overrides this to compare strategies.
+BIG_SCENE_STRATEGY = "stream"
+
+
+def _cluster_kernel_fits(scene: Scene) -> bool:
+    from .pallas.cluster_kernels import num_clusters
+
+    n_rows = scene.geometry.num_triangles
+    k = num_clusters(n_rows)
+    return (k * 8 + n_rows * 28) * 4 <= _BVH_KERNEL_VMEM_BUDGET
+
+
+def _cluster_rows(scene: Scene):
+    from .pallas.cluster_kernels import clusterize_bvh
+
+    return clusterize_bvh(
+        scene.bvh,
+        scene.geometry.num_triangles,
+        jnp.asarray(scene.geometry.positions),
+    )
+
+
 def _pad_tris(positions: jnp.ndarray, chunk: int):
     t = positions.shape[0]
     pad = (-t) % chunk
@@ -244,12 +271,39 @@ def trace_surface(
         rows = jnp.concatenate([rows, jnp.zeros((pad, 28), rows.dtype)])
 
     if big:
-        if not _bvh_kernel_fits(scene):
+        if BIG_SCENE_STRATEGY == "stream" or (
+            BIG_SCENE_STRATEGY == "cluster" and not _cluster_kernel_fits(scene)
+        ):
+            # find-only streaming kernel; the winner's attributes are
+            # resolved by the same gather path the jnp fallback uses
+            from .pallas.stream_kernels import stream_trace_surface_pallas
+
+            sout = stream_trace_surface_pallas(
+                _cluster_rows(scene), rows, o, d
+            )
+            hit = TriangleHit(
+                t=jnp.where(sout["hit"], sout["t"], jnp.inf),
+                tri=sout["tri"],
+                u=sout["u"],
+                v=sout["v"],
+            )
+            return surface_at(scene, o, d, hit, regularize=regularize)
+        if BIG_SCENE_STRATEGY == "cluster" and _cluster_kernel_fits(scene):
+            from .pallas.cluster_kernels import cluster_trace_surface_pallas
+
+            out = cluster_trace_surface_pallas(
+                _cluster_rows(scene), rows, o, d
+            )
+        elif _bvh_kernel_fits(scene):
+            from .pallas.bvh_kernels import (
+                bvh_trace_surface_pallas,
+                pack_nodes,
+            )
+
+            out = bvh_trace_surface_pallas(pack_nodes(scene.bvh), rows, o, d)
+        else:
             hit = trace_closest(scene, o, d)
             return surface_at(scene, o, d, hit, regularize=regularize)
-        from .pallas.bvh_kernels import bvh_trace_surface_pallas, pack_nodes
-
-        out = bvh_trace_surface_pallas(pack_nodes(scene.bvh), rows, o, d)
         some = out["hit"]
     else:
         out = trace_surface_pallas(rows, o, d)
@@ -310,6 +364,30 @@ def trace_surface(
 def _trace_closest_opaque(scene: Scene, o, d) -> TriangleHit:
     """Closest-hit strategy dispatch, ignoring alpha blending."""
     if scene.bvh is not None and scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS:
+        if _pallas_available() and BIG_SCENE_STRATEGY == "stream":
+            from .pallas.stream_kernels import stream_trace_surface_pallas
+
+            sg = jax.lax.stop_gradient
+            sout = stream_trace_surface_pallas(
+                _cluster_rows(sg(scene)), _packed_geom_rows(sg(scene)),
+                sg(o), sg(d),
+            )
+            # recompute t/u/v through the detached winner so gradients
+            # w.r.t. rays and vertex positions flow (same detach-and-
+            # recompute as the jnp traversal branch below)
+            verts = jnp.asarray(scene.geometry.positions)[
+                jnp.maximum(sout["tri"], 0)
+            ]
+            t2, u2, v2, _ = ray_triangle(
+                o, d, verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+            )
+            valid = sout["tri"] >= 0
+            return TriangleHit(
+                t=jnp.where(valid, t2, jnp.inf),
+                tri=sout["tri"],
+                u=jnp.where(valid, u2, 0.0),
+                v=jnp.where(valid, v2, 0.0),
+            )
         from ..bvh.traverse import trace_closest_bvh
 
         # The traversal's while_loop is not reverse-differentiable (and
@@ -411,6 +489,38 @@ def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
 def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
     big = scene.geometry.num_triangles > BRUTE_FORCE_MAX_TRIS
     if scene.bvh is not None and big:
+        if _pallas_available() and (
+            BIG_SCENE_STRATEGY == "stream"
+            or (
+                BIG_SCENE_STRATEGY == "cluster"
+                and not _cluster_kernel_fits(scene)
+            )
+        ):
+            from .pallas.stream_kernels import stream_trace_anyhit_pallas
+
+            rows = _packed_geom_rows(scene)
+            return stream_trace_anyhit_pallas(
+                _cluster_rows(scene),
+                rows,
+                jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d),
+                jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+            )
+        if (
+            _pallas_available()
+            and BIG_SCENE_STRATEGY == "cluster"
+            and _cluster_kernel_fits(scene)
+        ):
+            from .pallas.cluster_kernels import cluster_trace_anyhit_pallas
+
+            rows = _packed_geom_rows(scene)
+            return cluster_trace_anyhit_pallas(
+                _cluster_rows(scene),
+                rows,
+                jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d),
+                jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+            )
         if _pallas_available() and _bvh_kernel_fits(scene):
             from .pallas.bvh_kernels import bvh_trace_anyhit_pallas, pack_nodes
 

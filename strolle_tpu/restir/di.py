@@ -28,6 +28,7 @@ from ..ops.lights import (
     shadow_ray_bnoise,
 )
 from ..ops.trace import trace_anyhit
+from ..config import DEFAULT_TUNING, Tuning
 from ..scene.types import LIGHT_NONE, Scene
 from . import reservoir as rsv
 from .mis import mis_eval
@@ -72,6 +73,7 @@ def di_sampling(
     surf: Surface,
     seed,
     bnoise_sample,  # f32[H, W, 2] blue-noise pair for the shadow ray
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> rsv.DiReservoirs:
     """Initial candidate generation (di_sampling.rs): RIS over up to 16
     uniform light picks, then one blue-noise shadow ray; occluded
@@ -81,13 +83,13 @@ def di_sampling(
     state = rng.wnoise_new(seed, xs, ys)
 
     lcount = scene.lights.count
-    max_samples = jnp.minimum(lcount, DI_CANDIDATES)
+    max_samples = jnp.minimum(lcount, tuning.di_candidates)
     sample_ipdf = lcount.astype(jnp.float32)
 
     eph = rsv.DiReservoirs.empty(shape)
     eph_pdf = jnp.zeros(shape, jnp.float32)
 
-    for nth in range(DI_CANDIDATES):
+    for nth in range(tuning.di_candidates):
         state, word = rng.next_u32(state)
         light_id = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(
             jnp.int32
@@ -130,6 +132,7 @@ def di_temporal(
     curr: rsv.DiReservoirs,
     prev: rsv.DiReservoirs,
     seed,
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> rsv.DiReservoirs:
     """Temporal merge with reprojected history
     (di_temporal_resampling.rs): M clamp 64, light kill/remap handling,
@@ -153,7 +156,7 @@ def di_temporal(
     ry = jnp.clip(rpy, 0, camera.height - 1)
     rhs = gather.gather_tree(prev, ry, rx)
     rhs = rsv.select(has_rep, rhs, rsv.DiReservoirs.empty(shape))
-    rhs = rsv.clamp_m(rhs, DI_TEMPORAL_M_CLAMP)
+    rhs = rsv.clamp_m(rhs, tuning.di_temporal_m_clamp)
 
     # light slot lifecycle (lights.rs kill/remap protocol)
     lid = jnp.clip(rhs.light_id, 0, scene.lights.capacity - 1)
@@ -230,6 +233,7 @@ def di_spatial(
     res: rsv.DiReservoirs,
     seed,
     frame,
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> rsv.DiReservoirs:
     """Checkerboarded spatial reuse (di_spatial_resampling.rs): pick one
     similar neighbor in <= 8 tries (radius 128 px halving to >= 5 on
@@ -247,14 +251,14 @@ def di_spatial(
     done = jnp.zeros(shape, bool)
     rhs_x = jnp.zeros(shape, jnp.int32)
     rhs_y = jnp.zeros(shape, jnp.int32)
-    radius = jnp.full(shape, DI_SPATIAL_RADIUS, jnp.float32)
+    radius = jnp.full(shape, tuning.di_spatial_radius, jnp.float32)
 
     xs_f = xs.astype(jnp.float32)
     ys_f = ys.astype(jnp.float32)
     gates, gate_specs = gather.pack_screen(
         surf.depth, surf.normal, surf.is_some, res.m
     )
-    for _ in range(DI_SPATIAL_SAMPLES):
+    for _ in range(tuning.di_spatial_samples):
         state, disk = rng.sample_disk(state)
         cx, cy = contain_xy(
             camera,

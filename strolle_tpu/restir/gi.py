@@ -29,6 +29,7 @@ from ..ops import brdf, gather, math as vm, rng
 from ..ops.hit import Surface
 from ..ops.lights import gather_light, radiance, shadow_ray_wnoise
 from ..ops.trace import trace_anyhit, trace_surface
+from ..config import DEFAULT_TUNING, Tuning
 from ..scene.types import Scene
 from ..sky.atmosphere import SUN_DISTANCE, sample_sky, sun_direction
 from ..utils.pytree import pytree_dataclass
@@ -275,6 +276,7 @@ def gi_sampling(
     frame,
     luts=None,
     use_pallas: bool | None = None,
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> GiReservoirs:
     """gi_sampling_a + gi_sampling_b fused: trace the bounce ray (fresh
     BRDF sample on tracing frames; replayed reservoir ray on validation
@@ -315,7 +317,9 @@ def gi_sampling(
 
     sun = sun_direction(scene.sun_azimuth, scene.sun_altitude)
     lcount = scene.lights.count
-    atmosphere_pdf = jnp.where(scene.sun_altitude <= -1.0, 0.0, SKY_SAMPLE_PROB)
+    atmosphere_pdf = jnp.where(
+        scene.sun_altitude <= -1.0, 0.0, tuning.sky_sample_prob
+    )
 
     state, u_sky = rng.next_f32(state)
     pick_sky = (lcount == 0) | (u_sky < atmosphere_pdf)
@@ -325,8 +329,6 @@ def gi_sampling(
     sky_rad = _sky(luts, sun, sky_dir) * vm.dotk(gi_surf.normal, sky_dir)
 
     # light branch: ephemeral RIS over the lights at the secondary hit
-    from .di import DI_CANDIDATES
-
     eph_state = state
     eph_m = jnp.zeros(shape, jnp.float32)
     eph_w = jnp.zeros(shape, jnp.float32)
@@ -334,9 +336,9 @@ def gi_sampling(
     eph_light = jnp.zeros(shape, jnp.int32)
     eph_rad = jnp.zeros(shape + (3,), jnp.float32)
     eph_spec = jnp.zeros(shape + (3,), jnp.float32)
-    max_samples = jnp.minimum(lcount, DI_CANDIDATES)
+    max_samples = jnp.minimum(lcount, tuning.di_candidates)
     ipdf = lcount.astype(jnp.float32)
-    for nth in range(DI_CANDIDATES):
+    for nth in range(tuning.di_candidates):
         eph_state, word = rng.next_u32(eph_state)
         lid = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(jnp.int32)
         lg = gather_light(scene.lights, lid)
@@ -436,6 +438,7 @@ def gi_temporal(
     rep: GiReservoirs,
     seed,
     frame,
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> GiReservoirs:
     """gi_temporal_resampling.rs: MIS merge on tracing frames;
     merge-only + sample validation on validation frames."""
@@ -455,14 +458,16 @@ def gi_temporal(
     rhs = select(reproj.is_some, rep, GiReservoirs.empty(shape))
     rhs = rhs.replace(
         confidence=jnp.ones(shape, jnp.float32),
-        m=jnp.minimum(rhs.m, GI_TEMPORAL_M_CLAMP),
+        m=jnp.minimum(rhs.m, tuning.gi_temporal_m_clamp),
     )
 
     # validation: compare replayed radiance against history
     validate = (
         ~tracing & ~lhs.is_empty & ~rhs.is_empty & rhs.exists & reproj.is_some
     )
-    moved = vm.length(lhs.radiance - rhs.radiance) > GI_VALIDATION_THRESHOLD
+    moved = (
+        vm.length(lhs.radiance - rhs.radiance) > tuning.gi_validation_threshold
+    )
     rhs = rhs.replace(
         confidence=jnp.where(validate & moved, 0.0, rhs.confidence),
         radiance=jnp.where(validate[..., None], lhs.radiance, rhs.radiance),
@@ -512,7 +517,7 @@ def gi_temporal(
     main = select(tracing & jnp.ones(shape, bool), mt, mv)
     main_pdf = jnp.where(tracing, mt_pdf, mv_pdf)
     main = main.replace(pdf=main_pdf, v1_point=surf.point)
-    main = clamp_w(main)
+    main = clamp_w(main, tuning.gi_w_clamp)
     return select(surf.is_some, main, GiReservoirs.empty(shape))
 
 
@@ -523,6 +528,7 @@ def gi_spatial(
     res: GiReservoirs,
     seed,
     frame,
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> GiReservoirs:
     """gi_spatial_resampling.rs: like DI spatial plus the reconnection
     Jacobian (reject outside [1/10, 10], clamp to [1/3, 3]) applied to
@@ -540,7 +546,7 @@ def gi_spatial(
     rhs_x = jnp.zeros(shape, jnp.int32)
     rhs_y = jnp.zeros(shape, jnp.int32)
     rhs_jac = jnp.zeros(shape, jnp.float32)
-    radius = jnp.full(shape, GI_SPATIAL_RADIUS, jnp.float32)
+    radius = jnp.full(shape, tuning.gi_spatial_radius, jnp.float32)
 
     xs_f = xs.astype(jnp.float32)
     ys_f = ys.astype(jnp.float32)
@@ -549,7 +555,7 @@ def gi_spatial(
         surf.depth, surf.normal, surf.is_some,
         res.m, res.v1_point, res.v2_point, res.v2_normal,
     )
-    for _ in range(GI_SPATIAL_SAMPLES):
+    for _ in range(tuning.gi_spatial_samples):
         state, disk = rng.sample_disk(state)
         cx, cy = contain_xy(
             camera,
@@ -570,12 +576,18 @@ def gi_spatial(
             m=c_m, v1_point=c_v1, v2_point=c_v2, v2_normal=c_v2n
         )
         jac = sample_jacobian(cand_geom, surf.point)
-        jac_ok = (jac >= 1.0 / GI_JACOBIAN_REJECT) & (jac <= GI_JACOBIAN_REJECT)
+        jac_ok = (
+            jac >= 1.0 / tuning.gi_jacobian_reject
+        ) & (jac <= tuning.gi_jacobian_reject)
         accept = ~done & ~same & ~gate_fail & (c_m > 0.0) & jac_ok
         rhs_x = jnp.where(accept, cx, rhs_x)
         rhs_y = jnp.where(accept, cy, rhs_y)
         rhs_jac = jnp.where(
-            accept, jnp.clip(jac, 1.0 / GI_JACOBIAN_CLAMP, GI_JACOBIAN_CLAMP), rhs_jac
+            accept,
+            jnp.clip(
+                jac, 1.0 / tuning.gi_jacobian_clamp, tuning.gi_jacobian_clamp
+            ),
+            rhs_jac
         )
         done = done | accept
 
@@ -620,7 +632,7 @@ def gi_spatial(
         v1_point=lhs.v1_point,
     )
     main = norm_mis(main, main_pdf)
-    main = clamp_w(main)
+    main = clamp_w(main, tuning.gi_w_clamp)
 
     return select(found, main, lhs)
 
@@ -633,6 +645,7 @@ def gi_preview(
     neighbors: GiReservoirs,
     seed,
     max_radius: float,
+    tuning: Tuning = DEFAULT_TUNING,
 ) -> GiReservoirs:
     """gi_preview_resampling.rs: merge-only spatial pass (no visibility
     rays) with up to ``8 - m`` disk samples, depth gate 25%, normal gate
@@ -678,8 +691,12 @@ def gi_preview(
         )
         cpdf = sample_pdf(cand, surf)
         jac = sample_jacobian(cand, surf.point)
-        jac_ok = (jac >= 1.0 / GI_JACOBIAN_REJECT) & (jac <= GI_JACOBIAN_REJECT)
-        jac = jnp.clip(jac, 1.0 / GI_JACOBIAN_CLAMP, GI_JACOBIAN_CLAMP)
+        jac_ok = (
+            jac >= 1.0 / tuning.gi_jacobian_reject
+        ) & (jac <= tuning.gi_jacobian_reject)
+        jac = jnp.clip(
+            jac, 1.0 / tuning.gi_jacobian_clamp, tuning.gi_jacobian_clamp
+        )
 
         ok = (
             in_budget
@@ -699,7 +716,7 @@ def gi_preview(
         v1_point=center.v1_point,
     )
     main = norm_avg(main, main_pdf)
-    main = clamp_w(main)
+    main = clamp_w(main, tuning.gi_w_clamp)
     return select(surf.is_some, main, GiReservoirs.empty(shape))
 
 
@@ -737,6 +754,7 @@ def gi_pipeline(
     bnoise_second,
     luts=None,
     use_pallas: bool | None = None,
+    tuning: Tuning = DEFAULT_TUNING,
 ):
     """Full per-frame GI schedule (camera_controller.rs:129-167)."""
     from ..models.restir import derive_seed
@@ -751,7 +769,7 @@ def gi_pipeline(
     # except the even/odd tracing skip, handled by zeroing the candidate.
     cand = gi_sampling(
         scene, camera, surf, rep, derive_seed(seed, 10), derive_seed(seed, 11),
-        frame, luts, use_pallas,
+        frame, luts, use_pallas, tuning,
     )
     skip_sampling = tracing & ((frame_i % 2) == 1)
     cand = select(
@@ -762,19 +780,23 @@ def gi_pipeline(
 
     t = gi_temporal(
         scene, camera, surf, prev_surf, reproj, cand, rep,
-        derive_seed(seed, 12), frame,
+        derive_seed(seed, 12), frame, tuning,
     )
 
     # odd tracing frames run the spatial pass; source = spatial|temporal
-    s = gi_spatial(scene, camera, surf, t, derive_seed(seed, 13), frame)
+    s = gi_spatial(
+        scene, camera, surf, t, derive_seed(seed, 13), frame, tuning
+    )
     use_spatial = tracing & ((frame_i % 2) == 1)
     source = select(use_spatial & jnp.ones(t.m.shape, bool), s, t)
 
     p1 = gi_preview(
-        scene, camera, surf, source, source, derive_seed(seed, 14), 128.0
+        scene, camera, surf, source, source, derive_seed(seed, 14),
+        tuning.gi_spatial_radius, tuning,
     )
     p2 = gi_preview(
-        scene, camera, surf, p1, p1, derive_seed(seed, 15), 64.0
+        scene, camera, surf, p1, p1, derive_seed(seed, 15),
+        tuning.gi_spatial_radius / 2.0, tuning,
     )
 
     diff, spec = gi_resolve(surf, p2)

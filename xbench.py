@@ -69,7 +69,10 @@ def time_strategy(scene, o, d, force: str) -> float:
     import strolle_tpu.ops.trace as T
 
     old = T.BRUTE_FORCE_MAX_TRIS
+    old_big = T.BIG_SCENE_STRATEGY
     T.BRUTE_FORCE_MAX_TRIS = 10**9 if force == "brute" else 0
+    if force in ("cluster", "packet", "stream"):
+        T.BIG_SCENE_STRATEGY = force
     try:
         fn = jax.jit(lambda s, o, d: T.trace_surface(s, o, d))
         out = fn(scene, o, d)
@@ -84,24 +87,33 @@ def time_strategy(scene, o, d, force: str) -> float:
         return best * 1e3
     finally:
         T.BRUTE_FORCE_MAX_TRIS = old
+        T.BIG_SCENE_STRATEGY = old_big
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [1024, 2048, 4096, 8192, 16384]
+    sizes = [int(a) for a in sys.argv[1:]] or [4096, 16384, 65536, 262144]
     for coherent in (True, False):
         o, d = rays(coherent=coherent)
         n_rays = o.shape[0] * o.shape[1]
         print(("coherent camera rays" if coherent else "incoherent rays")
               + f" ({n_rays} rays)")
-        print(f"{'tris':>7} {'brute ms':>9} {'bvh ms':>9} {'winner':>7} "
-              f"{'bvh Mrays/s':>12}")
+        print(f"{'tris':>8} {'brute ms':>9} {'packet ms':>10} "
+              f"{'cluster ms':>11} {'stream ms':>10} {'winner':>8} "
+              f"{'best Mrays/s':>13}")
         for n in sizes:
             scene = soup_scene(n)
-            brute = time_strategy(scene, o, d, "brute")
-            bvh = time_strategy(scene, o, d, "bvh")
-            winner = "brute" if brute < bvh else "bvh"
-            print(f"{n:>7} {brute:>9.2f} {bvh:>9.2f} {winner:>7} "
-                  f"{n_rays / (bvh * 1e-3) / 1e6:>12.1f}", flush=True)
+            big = n > 65536
+            brute = float("inf") if big else time_strategy(scene, o, d, "brute")
+            packet = float("inf") if big else time_strategy(scene, o, d, "packet")
+            cluster = float("inf") if big else time_strategy(scene, o, d, "cluster")
+            stream = time_strategy(scene, o, d, "stream")
+            times = {"brute": brute, "packet": packet, "cluster": cluster,
+                     "stream": stream}
+            winner = min(times, key=times.get)
+            print(f"{n:>8} {brute:>9.2f} {packet:>10.2f} {cluster:>11.2f} "
+                  f"{stream:>10.2f} {winner:>8} "
+                  f"{n_rays / (times[winner] * 1e-3) / 1e6:>13.1f}",
+                  flush=True)
 
 
 if __name__ == "__main__":
