@@ -22,7 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_strolle")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_strolle_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 WIDTH, HEIGHT = 800, 608  # 800x600 rounded to row-tile multiple
@@ -111,6 +111,27 @@ def main() -> None:
     hd_rt = bench_realtime(dg_sun, hd_cam, frames=10, include_sky=True,
                            luts=luts)
 
+    # --- 262k-tri soup: the HBM-streaming large-scene path ---------------
+    import sys
+
+    sys.path.insert(0, ".")
+    from xbench import rays as xrays, soup_scene
+
+    big = soup_scene(262144)
+    o, d = xrays(coherent=True)
+    from strolle_tpu.ops.trace import trace_surface
+
+    fn = jax.jit(lambda s, o, d: trace_surface(s, o, d).depth)
+    fn(big, o, d).block_until_ready()
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(big, o, d)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / 5)
+    big_mrays = o.shape[0] * o.shape[1] / best / 1e6
+
     prev = None
     for path in sorted(
         glob.glob("BENCH_r*.json"),
@@ -134,7 +155,9 @@ def main() -> None:
                     f"Cornell ({c_ms:.1f} ms/frame; realtime {c_rt:.2f} ms) | "
                     f"dungeon 8.4k-tri textured: {d_mrays:.0f} Mrays/s "
                     f"({d_ms:.1f} ms/frame; realtime+sky {d_rt:.2f} ms) | "
-                    f"1080p realtime+sky {hd_rt:.2f} ms/frame"
+                    f"1080p realtime+sky {hd_rt:.2f} ms/frame | "
+                    f"262k-tri soup closest-hit {big_mrays:.0f} Mrays/s "
+                    f"(HBM-streaming kernel)"
                 ),
                 "value": round(c_mrays, 2),
                 "unit": "Mrays/s",

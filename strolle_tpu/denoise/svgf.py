@@ -54,6 +54,19 @@ class DenoiserState:
         )
 
 
+def _grad_safe_sqrt(x):
+    """sqrt(max(x, 0)) whose gradient is 0 (not inf) at x == 0.
+
+    d/dx sqrt(x) = 1/(2 sqrt(x)) diverges at zero; unlit pixels have
+    luma exactly 0, so autodiff through the edge-stopping weights (the
+    variance spatial fallback is NOT weight-frozen, unlike the wavelet
+    VJP) turned scene-parameter gradients NaN. The double-where keeps
+    the untaken branch's derivative finite."""
+    x = jnp.maximum(x, 0.0)
+    safe = jnp.sqrt(jnp.maximum(x, 1e-12))
+    return jnp.where(x > 0.0, safe, 0.0)
+
+
 def _sample_weight(
     center_luma,
     center_depth,
@@ -65,7 +78,9 @@ def _sample_weight(
     depth_sigma,
 ):
     """frame_denoising.rs sample_weight (:355-392)."""
-    luma_w = jnp.abs(jnp.sqrt(jnp.maximum(center_luma, 0.0)) - jnp.sqrt(jnp.maximum(sample_luma, 0.0))) * luma_sigma
+    luma_w = jnp.abs(
+        _grad_safe_sqrt(center_luma) - _grad_safe_sqrt(sample_luma)
+    ) * luma_sigma
     leeway = center_depth * depth_sigma
     diff = jnp.abs(sample_depth - center_depth)
     depth_w = jnp.where(
@@ -162,8 +177,13 @@ def estimate_variance(color, moments, surf: Surface,
             sum_l = sum_l + s_luma_full * w
             sum_l2 = sum_l2 + s_luma_full * s_luma_full * w
             sum_w = sum_w + w
-    m1 = sum_l / jnp.maximum(sum_w, 1e-20)
-    m2 = sum_l2 / jnp.maximum(sum_w, 1e-20)
+    # double-where: sum_w == 0 (sky-surrounded pixels) must yield a
+    # ZERO gradient, not a 1/1e-20-scaled one — the 1e20 cotangents
+    # overflowed to inf/NaN in the backward pass (light/vertex grads)
+    ok = sum_w > 1e-10
+    den = jnp.where(ok, sum_w, 1.0)
+    m1 = jnp.where(ok, sum_l / den, 0.0)
+    m2 = jnp.where(ok, sum_l2 / den, 0.0)
     var_spatial = jnp.abs(m2 - m1 * m1) * 4.0
 
     var = jnp.where(

@@ -318,6 +318,42 @@ def _tile(o, d, extra=None):
     return batch, r, g, comps
 
 
+def _ray_sort_keys(clus_rows, o, d):
+    """Coherence keys: direction bins (major) + quantized origin cell.
+
+    Incoherent ray sets (GI bounce rays, reference-mode bounces) defeat
+    per-tile culling — a tile of 8k random rays enters every cluster.
+    Sorting rays so each tile shares a direction cone and an origin
+    neighborhood restores the cull rate; results are scattered back to
+    the caller's order, so this is invisible semantically.
+
+    MEASURED OFF by default: on this toolchain the permutation gathers
+    cost far more than the restored culling saves (uniform-soup
+    xbench: 1M tris 69 -> 1300 ms with sorting) — XLA-side gathers are
+    the slowest op on TPU (ops/gather.py). Revisit only with an
+    in-kernel permutation or for scenes with strong occlusion
+    structure."""
+    flat_o = o.reshape(-1, 3)
+    flat_d = d.reshape(-1, 3)
+    lo = clus_rows[:, 0:3].min(axis=0)
+    hi = clus_rows[:, 3:6].max(axis=0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip(
+        ((flat_o - lo) / span * 8.0).astype(jnp.int32), 0, 7
+    )  # 3 bits/axis
+    dbin = jnp.clip(((flat_d + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    # direction-major: tiles share a cone first, then an origin cell
+    key = (
+        (((dbin[:, 0] * 4 + dbin[:, 1]) * 4 + dbin[:, 2]) << 9)
+        | (cell[:, 0] << 6)
+        | (cell[:, 1] << 3)
+        | cell[:, 2]
+    )
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
 def _pad_rows(clus_rows, geom_rows):
     need = clus_rows.shape[0] * CLUSTER_TRIS
     if geom_rows.shape[0] < need:
@@ -333,13 +369,21 @@ def _pad_rows(clus_rows, geom_rows):
     return geom_rows
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "sort_rays"))
+def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
+                                sort_rays=False):
     """HBM-streaming cluster-culled closest hit. Scene size bounded by
     HBM, not VMEM. Find-only: returns {t, hit, u, v, tri}; resolve
-    attributes with ops.hit.surface_at."""
+    attributes with ops.hit.surface_at. ``sort_rays`` (default off —
+    see _ray_sort_keys) groups rays by direction cone + origin cell
+    before tiling; output order is unchanged."""
+    batch = o.shape[:-1]
+    if sort_rays:
+        perm, inv = _ray_sort_keys(clus_rows, o, d)
+        o = jnp.take(o.reshape(-1, 3), perm, axis=0)
+        d = jnp.take(d.reshape(-1, 3), perm, axis=0)
     geom_rows = pack4_rows(_pad_rows(clus_rows, geom_rows))
-    batch, r, g, comps = _tile(o, d)
+    _, r, g, comps = _tile(o, d)
     idx, counts = cull_lists(clus_rows, comps[0:3], comps[3:6], g)
 
     shape = (g * S_SUBLANES, LANES)
@@ -365,29 +409,40 @@ def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False):
         interpret=interpret,
     )(idx, counts, geom_rows, *comps)
 
-    def unpack(a):
-        return a.reshape(-1)[:r].reshape(batch)
-
     from .trace_kernels import _reshape_i32
 
-    tri_i = _reshape_i32(tri, r, batch)
+    def restore(flat):
+        if sort_rays:
+            flat = jnp.take(flat, inv)
+        return flat.reshape(batch)
+
+    t = restore(t.reshape(-1)[:r])
+    u = restore(u.reshape(-1)[:r])
+    v = restore(v.reshape(-1)[:r])
+    tri_i = restore(_reshape_i32(tri, r, (r,)))
     hit_b = tri_i >= 0
     return {
-        "t": unpack(t),
+        "t": t,
         "hit": hit_b,
-        "u": unpack(u),
-        "v": unpack(v),
+        "u": u,
+        "v": v,
         "tri": jnp.where(hit_b, tri_i, -1),
     }
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "sort_rays"))
 def stream_trace_anyhit_pallas(
-    clus_rows, geom_rows, o, d, t_max, interpret=False
+    clus_rows, geom_rows, o, d, t_max, interpret=False, sort_rays=False
 ):
+    batch = o.shape[:-1]
+    t_max = jnp.broadcast_to(t_max, batch)
+    if sort_rays:
+        perm, inv = _ray_sort_keys(clus_rows, o, d)
+        o = jnp.take(o.reshape(-1, 3), perm, axis=0)
+        d = jnp.take(d.reshape(-1, 3), perm, axis=0)
+        t_max = jnp.take(t_max.reshape(-1), perm)
     geom_rows = pack4_rows(_pad_rows(clus_rows, geom_rows))
-    t_max = jnp.broadcast_to(t_max, o.shape[:-1])
-    batch, r, g, comps = _tile(o, d, extra=t_max.astype(jnp.float32))
+    _, r, g, comps = _tile(o, d, extra=t_max.astype(jnp.float32))
     idx, counts = cull_lists(clus_rows, comps[0:3], comps[3:6], g)
 
     shape = (g * S_SUBLANES, LANES)
@@ -410,4 +465,7 @@ def stream_trace_anyhit_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(idx, counts, geom_rows, *comps)
-    return (occ.reshape(-1)[:r] > 0).reshape(batch)
+    flat = occ.reshape(-1)[:r]
+    if sort_rays:
+        flat = jnp.take(flat, inv)
+    return (flat > 0).reshape(batch)
