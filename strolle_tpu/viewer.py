@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -32,6 +33,8 @@ import numpy as np
 
 from .camera import Camera, make_camera
 from .renderer import CameraSettings, Renderer
+
+log = logging.getLogger("strolle_tpu.viewer")
 
 MODES = [
     "image",
@@ -214,30 +217,39 @@ class Viewer:
         with self._lock:
             msgs, self._controls = self._controls, []
         for m in msgs:
-            if "mode" in m and m["mode"] in MODES:
-                self.settings.mode = m["mode"]
-                self.renderer.update_camera("view", settings=self.settings)
-            if "denoise" in m:
-                self.settings.denoise = bool(m["denoise"])
-                self.renderer.update_camera("view", settings=self.settings)
-            if "orbit" in m:
-                dx, dy = m["orbit"]
-                self.orbit.orbit(-float(dx), float(dy))
-                self._camera_dirty = True
-            if "dolly" in m:
-                self.orbit.dolly(float(m["dolly"]))
-                self._camera_dirty = True
-            if "sun_altitude" in m and self._editor is not None:
-                self._editor.update_sun(altitude=float(m["sun_altitude"]))
-            if "sun_azimuth" in m and self._editor is not None:
-                self._editor.update_sun(azimuth=float(m["sun_azimuth"]))
-            if "light_scale" in m:
-                self._light_scale = float(m["light_scale"])
-            if "pause" in m:
-                self.running = not bool(m.get("pause"))
+            try:
+                self._apply_one_control(m)
+            except (TypeError, ValueError, KeyError) as e:
+                # client JSON is untrusted: a malformed /control payload
+                # (non-numeric dolly, 1-element orbit, ...) is dropped
+                # instead of crashing the render loop thread
+                log.warning("ignoring malformed control %r: %s", m, e)
         if self._camera_dirty:
             self.renderer.update_camera("view", camera=self.orbit.camera())
             self._camera_dirty = False
+
+    def _apply_one_control(self, m: dict):
+        if "mode" in m and m["mode"] in MODES:
+            self.settings.mode = m["mode"]
+            self.renderer.update_camera("view", settings=self.settings)
+        if "denoise" in m:
+            self.settings.denoise = bool(m["denoise"])
+            self.renderer.update_camera("view", settings=self.settings)
+        if "orbit" in m:
+            dx, dy = m["orbit"]
+            self.orbit.orbit(-float(dx), float(dy))
+            self._camera_dirty = True
+        if "dolly" in m:
+            self.orbit.dolly(float(m["dolly"]))
+            self._camera_dirty = True
+        if "sun_altitude" in m and self._editor is not None:
+            self._editor.update_sun(altitude=float(m["sun_altitude"]))
+        if "sun_azimuth" in m and self._editor is not None:
+            self._editor.update_sun(azimuth=float(m["sun_azimuth"]))
+        if "light_scale" in m:
+            self._light_scale = float(m["light_scale"])
+        if "pause" in m:
+            self.running = not bool(m.get("pause"))
 
     # -- render loop -------------------------------------------------------
 
