@@ -23,4 +23,24 @@ def scene_with_bvh(scene: Scene) -> Scene:
         tangents=geom.tangents[order],
         material_id=geom.material_id[order],
     )
-    return scene.replace(geometry=geom, bvh=arrays)
+    scene = scene.replace(geometry=geom, bvh=arrays)
+    return scene.replace(clusters=build_clusters(scene))
+
+
+def build_clusters(scene: Scene):
+    """Cluster AABB rows for the large-scene kernels, built once per
+    BVH refresh (VERDICT r3: clusterize_bvh used to be recomputed
+    inside every trace dispatch). Host numpy so the Scene pytree stays
+    free of device-array constants; small scenes skip it."""
+    from ..ops.trace import BRUTE_FORCE_MAX_TRIS
+
+    geom = scene.geometry
+    if scene.bvh is None or geom.num_triangles <= BRUTE_FORCE_MAX_TRIS:
+        return None
+    from ..ops.pallas.cluster_kernels import clusterize_bvh
+
+    return np.asarray(
+        clusterize_bvh(
+            scene.bvh, geom.num_triangles, jnp.asarray(geom.positions)
+        )
+    )

@@ -128,8 +128,17 @@ def render_frame(
     seed,
     config: RenderConfig = RenderConfig(),
     luts=None,
+    mesh=None,
 ):
     """Renders one frame; returns (channels dict, new state).
+
+    ``mesh``: optional jax.sharding.Mesh — when given, every ray-trace
+    inside the stage programs runs under shard_map with pixel rows
+    sharded over the mesh (ops.trace.trace_rows_sharded), so the fused
+    Pallas kernels execute per shard on real multi-chip hardware. The
+    cross-pixel stages (reprojection, spatial resampling, SVGF) stay
+    GSPMD-partitioned and remain bit-identical to the single-device
+    render (tests/test_sharding.py).
 
     ``luts``: optional AtmosphereLuts (sky/atmosphere.luts_for) — used
     for miss-pixel radiance and GI sky sampling. When omitted they are
@@ -178,7 +187,7 @@ def render_frame(
     frame = state.frame
     surf, reproj, sky, bn_first, bn_second = _stage_prelude(
         scene, camera, state.prev_camera, state.prev_surface, frame, luts,
-        config.include_sky, use_pallas,
+        config.include_sky, use_pallas, mesh,
     )
 
     h, w = camera.height, camera.width
@@ -192,12 +201,13 @@ def render_frame(
         di_diff, di_spec, di_prev = _stage_di(
             scene, camera, surf, state.prev_surface, reproj,
             state.di_prev, seed, frame, bn_first, sky, config.tuning,
+            mesh,
         )
     if config.needs_gi:
         gi_diff, gi_spec, gi_prev = _stage_gi(
             scene, camera, surf, state.prev_surface, reproj,
             state.gi_prev, seed, frame, bn_second, luts, use_pallas,
-            config.tuning,
+            config.tuning, mesh,
         )
 
     # --- denoising (SVGF on the diffuse channels; spec is not denoised,
@@ -233,14 +243,17 @@ def render_frame(
     return channels, new_state
 
 
-@partial(jax.jit, static_argnames=("include_sky", "use_pallas"))
+@partial(jax.jit, static_argnames=("include_sky", "use_pallas", "mesh"))
 def _stage_prelude(
     scene, camera, prev_camera, prev_surface, frame, luts, include_sky,
-    use_pallas=None,
+    use_pallas=None, mesh=None,
 ):
     """G-buffer + reprojection map + miss-pixel sky + blue noise."""
+    from ..ops.trace import trace_rows_sharded
+
     h, w = camera.height, camera.width
-    surf, velocity = primary_pass(scene, camera, prev_camera, use_pallas)
+    with trace_rows_sharded(mesh):
+        surf, velocity = primary_pass(scene, camera, prev_camera, use_pallas)
     reproj = build_reprojection_map(camera, surf, prev_surface, velocity)
 
     if include_sky:
@@ -265,34 +278,40 @@ def _stage_prelude(
     return surf, reproj, sky, bn_first, bn_second
 
 
-@partial(jax.jit, static_argnames=("tuning",))
+@partial(jax.jit, static_argnames=("tuning", "mesh"))
 def _stage_di(
     scene, camera, surf, prev_surface, reproj, di_prev, seed, frame,
-    bn_first, sky, tuning=DEFAULT_TUNING,
+    bn_first, sky, tuning=DEFAULT_TUNING, mesh=None,
 ):
     """The four DI passes as one program (measured ~1 ms at 800x608)."""
-    a = di_mod.di_sampling(
-        scene, camera, surf, derive_seed(seed, 0), bn_first, tuning
-    )
-    b = di_mod.di_temporal(
-        scene, camera, surf, prev_surface, reproj, a, di_prev,
-        derive_seed(seed, 1), tuning,
-    )
-    c = di_mod.di_spatial(
-        scene, camera, surf, b, derive_seed(seed, 2), frame, tuning
-    )
-    return di_mod.di_resolving(scene, camera, surf, c, sky)
+    from ..ops.trace import trace_rows_sharded
+
+    with trace_rows_sharded(mesh):
+        a = di_mod.di_sampling(
+            scene, camera, surf, derive_seed(seed, 0), bn_first, tuning
+        )
+        b = di_mod.di_temporal(
+            scene, camera, surf, prev_surface, reproj, a, di_prev,
+            derive_seed(seed, 1), tuning,
+        )
+        c = di_mod.di_spatial(
+            scene, camera, surf, b, derive_seed(seed, 2), frame, tuning
+        )
+        return di_mod.di_resolving(scene, camera, surf, c, sky)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "tuning"))
+@partial(jax.jit, static_argnames=("use_pallas", "tuning", "mesh"))
 def _stage_gi(
     scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-    bn_second, luts, use_pallas=None, tuning=DEFAULT_TUNING,
+    bn_second, luts, use_pallas=None, tuning=DEFAULT_TUNING, mesh=None,
 ):
-    return gi_mod.gi_pipeline(
-        scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-        bn_second, luts, use_pallas, tuning,
-    )
+    from ..ops.trace import trace_rows_sharded
+
+    with trace_rows_sharded(mesh):
+        return gi_mod.gi_pipeline(
+            scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
+            bn_second, luts, use_pallas, tuning,
+        )
 
 
 @partial(jax.jit, static_argnames=("kind", "tuning"))

@@ -50,8 +50,12 @@ from .trace_kernels import LANES, _moller_trumbore
 
 #: Rows per cluster. Small enough that one culled cluster saves real
 #: work, big enough that the scalar AABB test amortizes (the dense loop
-#: costs ~count row-iterations; the test costs ~1).
-CLUSTER_TRIS = 1024
+#: costs ~count row-iterations; the test costs ~1). Shared with the
+#: streaming kernels, whose per-lane best-t pretest wants FINE
+#: clusters (r4 sweep on the 262k soup at 16-sublane tiles:
+#: 128 -> 244 ms, 256 -> 120 ms, 384 -> 130 ms, 512 -> 146 ms, old
+#: 1024 -> ~990 ms with the round-3 kernel).
+CLUSTER_TRIS = 256
 
 #: Ray tile shape: SUBLANES x 128 rays traverse the cluster list
 #: together. Matches trace_kernels.SUBLANES so both brute paths see the

@@ -1,49 +1,57 @@
 """Streaming cluster tracing: unbounded scene size, HBM-resident
-geometry, double-buffered DMA.
+geometry, double-buffered DMA, front-to-back early termination.
 
 The VMEM-resident kernels (trace_kernels.py brute, cluster_kernels.py)
 cap out around ~100k triangles (the [T, 28] rows must fit in ~12 MB of
-VMEM). This module removes the cap and the in-kernel culling overhead
-in one move:
+VMEM). This module removes the cap and — since round 4 — the linear
+cost per ray, replacing the reference's per-thread stack traversal
+(strolle-gpu/src/ray.rs:114-266) with a two-level hierarchy shaped for
+a (8,128)-lane machine:
 
-1. **Cull outside the kernel.** For every (ray tile, cluster) pair a
-   conservative *interval-arithmetic* slab test runs in plain XLA: the
-   tile's ray origins and directions are reduced to per-axis intervals
-   and tested against the cluster AABB; any tile whose direction
-   interval spans zero on an axis treats that axis as unconstrained
-   (strictly conservative — false positives only, never false
-   negatives, so closest-hit results are exact). Cost: O(tiles x K)
-   scalar-ish work, microseconds. Coherent tiles (primary/shadow rays)
-   cull 60-80% of clusters; incoherent tiles degrade to a full stream,
-   which is exactly the brute-force behavior that is measured fastest
-   anyway (xbench.py).
+1. **Cull + order outside the kernel.** For every (ray tile, cluster)
+   pair a conservative *interval-arithmetic* slab test runs in plain
+   XLA: the tile's ray origins and directions are reduced to per-axis
+   intervals and tested against the cluster AABB (strictly
+   conservative — false positives only, so results stay exact). The
+   same test yields a conservative LOWER BOUND on each cluster's entry
+   distance; entered clusters are sorted by it, giving each tile a
+   front-to-back cluster list (the moral equivalent of the
+   reference's near-child-first traversal order, ray.rs:140-166).
 
-2. **Compact to per-tile cluster lists** (argsort entered-first) and
-   hand them to the kernel as scalar-prefetch operands — the scalar
-   core just walks an index list; there is no vector->scalar reduction
-   or branch decision left inside the loop.
+2. **Early termination inside the kernel.** The per-tile walk is a
+   while loop that stops as soon as the next cluster's entry lower
+   bound exceeds every lane's current best hit — for closest-hit with
+   front-to-back order this is the step that makes cost per ray scale
+   with what the ray can actually see, not with scene size. Each
+   lane's best-t starts at its *scene-AABB exit distance* (not +inf),
+   so rays that miss everything — and the tile-padding lanes — cannot
+   hold the loop open past the geometry they overlap.
 
-3. **Stream rows from HBM.** Triangle rows stay in HBM
+3. **Per-lane cluster re-test.** The tile-interval cull is coarse
+   (false positives); before the dense loop each DMA'd cluster is
+   slab-tested per lane against the current best-t and skipped
+   entirely when no lane can improve (compute skip; the prefetched
+   DMA still lands, which is the right trade — the stream is
+   compute-bound, not bandwidth-bound).
+
+4. **Stream rows from HBM.** Triangle rows stay in HBM
    (memory_space=ANY); the kernel double-buffers CLUSTER rows through
    a [2, C/4, 128] VMEM scratch with async DMA, prefetching cluster
    i+1 while intersecting cluster i. Rows are packed FOUR triangles
    per 128-lane row (28 -> 32 floats each, pack4_rows) because Mosaic
    DMA slices must align to the (8,128) tiling — which also means each
-   scalar row load feeds four Möller-Trumbore evaluations, improving
-   the loop's load:compute ratio over the 28-wide VMEM kernels.
+   scalar row load feeds four Möller-Trumbore evaluations.
 
 The kernel is find-only: it returns (t, tri, u, v) with all state in
-fori-loop REGISTER carries (VMEM-scratch accumulators measured ~10x
-slower — every masked store is a full-tile VMEM round trip), and the
-winner's shading attributes are resolved outside by ops.hit.surface_at
-(one screen-sized gather — cheap relative to a multi-hundred-k-row
+loop REGISTER carries (VMEM-scratch accumulators measured ~10x
+slower), and the winner's shading attributes are resolved outside by
+ops.hit.surface_at (one screen-sized gather — cheap relative to the
 stream, and it reuses the full texture/material logic).
 
-This is the production large-scene path: the reference's per-thread
-stack traversal (strolle-gpu/src/ray.rs:114-266) becomes "cull
-coarsely, then stream dense work through the vector unit" — the shape
-that actually fits a (8,128)-lane machine with a software-managed
-memory hierarchy.
+Anyhit rays additionally cull with their t_max: the tile list keeps
+only clusters entered before the tile's largest t_max, and per-lane
+t_max is clipped to the scene-AABB exit so unbounded shadow rays
+(sun/sky) terminate with the geometry too.
 """
 
 from __future__ import annotations
@@ -55,11 +63,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cluster_kernels import CLUSTER_TRIS, clusterize_bvh, num_clusters  # noqa: F401
+from .cluster_kernels import (  # noqa: F401
+    CLUSTER_TRIS,
+    _cluster_aabb_any,
+    _inv_dirs,
+    clusterize_bvh,
+    num_clusters,
+)
 from .trace_kernels import LANES, _moller_trumbore
 
-S_SUBLANES = 64
+#: Ray tile = S_SUBLANES x 128 lanes. SMALL tiles (2048 rays = one
+#: 32x64 pixel block, see _blockify) are what make the per-tile cull +
+#: per-lane best-t pretest bite: the tile's ray-interval frustum is
+#: tight, so few clusters enter and few dense loops run. Measured on
+#: the 262k soup (486k coherent rays, fresh-input protocol): 64
+#: sublanes 369 ms, 8 -> 149 ms, 16 -> 120 ms, 32 -> 136 ms.
+S_SUBLANES = 16
 S_TILE = S_SUBLANES * LANES
+
+#: Pixel block mapped to one ray tile (BLOCK_H * BLOCK_W == S_TILE).
+BLOCK_H = 32
+BLOCK_W = 64
 
 #: triangles per packed 128-float row
 PACK = 4
@@ -82,9 +106,10 @@ def pack4_rows(geom_rows: jnp.ndarray) -> jnp.ndarray:
     return rows32.reshape(-1, PACK * _REC)
 
 
-def _interval_slab_entered(clus, o_lo, o_hi, d_lo, d_hi):
+def _interval_slab(clus, o_lo, o_hi, d_lo, d_hi):
     """Conservative slab test: cluster AABBs [K, 8] vs per-tile ray
-    intervals [g, 3]. Returns entered [g, K] (bool, conservative).
+    intervals [g, 3]. Returns (entered [g, K] bool, tn_lo [g, K] f32 —
+    a conservative lower bound on any tile ray's entry distance).
 
     Per axis the candidate t at a plane p is (p - o) / d; with o and d
     as intervals the extreme quotients are among the four products of
@@ -127,49 +152,112 @@ def _interval_slab_entered(clus, o_lo, o_hi, d_lo, d_hi):
 
     tn = tn_lo.max(axis=-1)  # conservative entry lower bound
     tf = tf_hi.min(axis=-1)  # conservative exit upper bound
-    return (tn <= tf) & (tf >= 0.0)
+    entered = (tn <= tf) & (tf >= 0.0)
+    return entered, jnp.maximum(tn, 0.0)
 
 
-def cull_lists(clus_rows, o_planes, d_planes, g):
-    """Per-tile compacted cluster lists.
+def _tile_minmax(p, g):
+    v = p.reshape(g, S_TILE)
+    return v.min(axis=1), v.max(axis=1)
+
+
+#: SMEM budget for the per-tile cluster lists. The lists live in SMEM
+#: for ALL grid steps at once (scalar prefetch: [g, L] i32 idx +
+#: [g, L] f32 tmins = 8 bytes/entry), so L adapts to the grid size —
+#: see _list_cap. Tiles whose cull admits more than L clusters are
+#: encoded as OVERFLOW (count -1) and walk every cluster in index
+#: order instead; the per-lane best-t pretest still skips almost all
+#: of them, so overflow degrades gracefully — but it costs a full
+#: K-length pretest walk, so the cap matters (262k soup @1M tris: a
+#: fixed 128 cap left 56% of tiles in overflow).
+_LIST_SMEM_BUDGET = 700_000
+
+
+def _list_cap(g: int, k: int) -> int:
+    return int(max(64, min(512, _LIST_SMEM_BUDGET // (8 * max(g, 1)), k)))
+
+
+def cull_lists(clus_rows, o_planes, d_planes, g, tmax_plane=None):
+    """Per-tile compacted, FRONT-TO-BACK-ordered cluster lists.
 
     o/d_planes: the 6 [g*S_SUBLANES, LANES] ray component planes (the
-    kernel's own input layout). Returns (idx [g, K] i32 entered-first,
-    counts [g] i32)."""
-    k = clus_rows.shape[0]
+    kernel's own input layout). ``tmax_plane``: optional anyhit range
+    plane — clusters entered past the tile's largest t_max are culled.
+    Returns (idx [g, L] i32, first min(count, L) entries sorted by
+    conservative entry distance; counts [g] i32 with -1 encoding
+    "overflow: walk all K in index order"; tmins [g, L] f32 aligned
+    with idx — diagnostics/tests only, the kernel does not read it)."""
+    o_lo = jnp.stack([_tile_minmax(p, g)[0] for p in o_planes], axis=-1)
+    o_hi = jnp.stack([_tile_minmax(p, g)[1] for p in o_planes], axis=-1)
+    d_lo = jnp.stack([_tile_minmax(p, g)[0] for p in d_planes], axis=-1)
+    d_hi = jnp.stack([_tile_minmax(p, g)[1] for p in d_planes], axis=-1)
 
-    def tile_minmax(p):
-        v = p.reshape(g, S_TILE)
-        return v.min(axis=1), v.max(axis=1)
-
-    o_lo = jnp.stack([tile_minmax(p)[0] for p in o_planes], axis=-1)
-    o_hi = jnp.stack([tile_minmax(p)[1] for p in o_planes], axis=-1)
-    d_lo = jnp.stack([tile_minmax(p)[0] for p in d_planes], axis=-1)
-    d_hi = jnp.stack([tile_minmax(p)[1] for p in d_planes], axis=-1)
-
-    entered = _interval_slab_entered(clus_rows, o_lo, o_hi, d_lo, d_hi)
+    entered, tn_lo = _interval_slab(clus_rows, o_lo, o_hi, d_lo, d_hi)
+    if tmax_plane is not None:
+        _, tmax_hi = _tile_minmax(tmax_plane, g)
+        entered = entered & (tn_lo <= tmax_hi[:, None])
     counts = entered.sum(axis=1).astype(jnp.int32)
-    # stable sort: entered clusters first, preserving front-to-back
-    # (BVH/row) order within each group
-    idx = jnp.argsort(~entered, axis=1, stable=True).astype(jnp.int32)
-    return idx, counts
+    # front-to-back: entered clusters sorted by entry lower bound,
+    # non-entered pushed to the end (_BIG keys)
+    key = jnp.where(entered, tn_lo, _BIG)
+    order = jnp.argsort(key, axis=1, stable=True)
+    tmins = jnp.take_along_axis(key, order, axis=1)
+    lcap = _list_cap(g, order.shape[1])
+    counts = jnp.where(counts > lcap, -1, counts)
+    return order[:, :lcap].astype(jnp.int32), counts, tmins[:, :lcap]
+
+
+def scene_tcap(clus_rows, o_planes, d_planes):
+    """Per-ray best-t initialization: the ray's exit distance from the
+    global scene AABB (plus slack). No triangle lies beyond it, so it
+    is a sound cap — and it is what keeps miss rays (and tile-padding
+    lanes) from defeating the front-to-back early termination."""
+    lo = clus_rows[:, 0:3].min(axis=0)
+    hi = clus_rows[:, 3:6].max(axis=0)
+    ox, oy, oz = o_planes
+    dx, dy, dz = d_planes
+    idx, idy, idz = _inv_dirs(dx, dy, dz)
+    t0x, t1x = (lo[0] - ox) * idx, (hi[0] - ox) * idx
+    t0y, t1y = (lo[1] - oy) * idy, (hi[1] - oy) * idy
+    t0z, t1z = (lo[2] - oz) * idz, (hi[2] - oz) * idz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    miss = (tn > tf) | (tf < 0.0)
+    return jnp.where(miss, 0.0, tf * 1.0001 + 1e-4)
 
 
 def _stream_surface_kernel(
-    idx_ref, cnt_ref,  # scalar prefetch: [g, K] i32, [g] i32
+    idx_ref, cnt_ref, tmin_ref,  # scalar prefetch: [g, L] i32, [g] i32
+    #                              (-1 = overflow), [g, L] f32
+    clus_ref,  # [K, 8] cluster AABB rows in VMEM
     tri_hbm,  # [K*C/4, 128] packed rows in HBM (memory_space=ANY)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tcap_ref,
     t_out, tri_out, u_out, v_out,
     buf, sems,
 ):
-    shape = (S_SUBLANES, LANES)
     g = pl.program_id(0)
-    n = cnt_ref[g]
+    n_enc = cnt_ref[g]
+    overflow = n_enc < 0
+    k_total = clus_ref.shape[0]
+    lmax = idx_ref.shape[1] - 1
+    n = jnp.where(overflow, k_total, n_enc)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    inv_x, inv_y, inv_z = _inv_dirs(dx, dy, dz)
+
+    def k_of(i):
+        # overflow tiles walk every cluster in index order; normal
+        # tiles walk their front-to-back sorted list
+        return jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
 
     def get_dma(slot, i):
-        k = idx_ref[g, i]
+        k = k_of(i)
         return pltpu.make_async_copy(
             tri_hbm.at[
                 pl.ds(k * (CLUSTER_TRIS // PACK), CLUSTER_TRIS // PACK)
@@ -178,44 +266,67 @@ def _stream_surface_kernel(
             sems.at[slot],
         )
 
-    @pl.when(n > 0)
-    def _():
-        get_dma(0, 0).start()
+    def cond(carry):
+        i, bt, _btri, _bu, _bv = carry
+        # front-to-back BREAK: stop once the next cluster's entry lower
+        # bound is past every lane's best hit (sorted lists only;
+        # overflow tiles have no sorted bound and rely on the per-lane
+        # pretest below)
+        return (i < n) & (
+            overflow | (tmin_ref[g, jnp.minimum(i, lmax)] <= jnp.max(bt))
+        )
 
-    def loop(i, carry):
-        slot = jax.lax.rem(i, 2)
+    def loop(carry):
+        i, bt, btri, bu, bv = carry
+        k = k_of(i)
 
-        @pl.when(i + 1 < n)
-        def _():
-            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+        # per-lane slab test against the CURRENT best-t BEFORE any
+        # fetch: skipped clusters cost one vector test and zero HBM
+        # traffic (the decisive step for tiles whose cull list is long
+        # — bt starts at the scene-AABB exit, so miss lanes and tile
+        # padding terminate with the geometry too)
+        enter = _cluster_aabb_any(
+            clus_ref[k], ox, oy, oz, inv_x, inv_y, inv_z, bt
+        )
+        first = k * CLUSTER_TRIS
 
-        get_dma(slot, i).wait()
-        first = idx_ref[g, i] * CLUSTER_TRIS
+        def dense(c):
+            dma = get_dma(0, i)
+            dma.start()
+            dma.wait()
 
-        def body(j, c):
-            bt, btri, bu, bv = c
-            packed = buf[slot, j]
-            for m in range(PACK):
-                row = [packed[m * _REC + k] for k in range(9)]
-                t, u, v, _hit = _moller_trumbore(
-                    row, ox, oy, oz, dx, dy, dz
-                )
-                better = t < bt
-                bt = jnp.where(better, t, bt)
-                btri = jnp.where(better, first + j * PACK + m, btri)
-                bu = jnp.where(better, u, bu)
-                bv = jnp.where(better, v, bv)
-            return bt, btri, bu, bv
+            def body(j, c2):
+                bt2, btri2, bu2, bv2 = c2
+                packed = buf[0, j]
+                for m in range(PACK):
+                    row = [packed[m * _REC + kk] for kk in range(9)]
+                    t, u, v, _hit = _moller_trumbore(
+                        row, ox, oy, oz, dx, dy, dz
+                    )
+                    better = t < bt2
+                    bt2 = jnp.where(better, t, bt2)
+                    btri2 = jnp.where(better, first + j * PACK + m, btri2)
+                    bu2 = jnp.where(better, u, bu2)
+                    bv2 = jnp.where(better, v, bv2)
+                return bt2, btri2, bu2, bv2
 
-        return jax.lax.fori_loop(0, CLUSTER_TRIS // PACK, body, carry)
+            return jax.lax.fori_loop(0, CLUSTER_TRIS // PACK, body, c)
 
+        bt, btri, bu, bv = jax.lax.cond(
+            enter, dense, lambda c: c, (bt, btri, bu, bv)
+        )
+        return i + 1, bt, btri, bu, bv
+
+    shape = (S_SUBLANES, LANES)
     init = (
-        jnp.full(shape, jnp.inf, jnp.float32),
+        0,
+        tcap_ref[:],  # best-t starts at the scene-AABB exit distance
         jnp.full(shape, -1, jnp.int32),
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    bt, btri, bu, bv = jax.lax.fori_loop(0, n, loop, init)
+    _, bt, btri, bu, bv = jax.lax.while_loop(cond, loop, init)
+
     t_out[:] = bt
     tri_out[:] = btri
     u_out[:] = bu
@@ -223,7 +334,8 @@ def _stream_surface_kernel(
 
 
 def _stream_anyhit_kernel(
-    idx_ref, cnt_ref,
+    idx_ref, cnt_ref, tmin_ref,
+    clus_ref,
     tri_hbm,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     occ_out,
@@ -231,13 +343,21 @@ def _stream_anyhit_kernel(
 ):
     shape = (S_SUBLANES, LANES)
     g = pl.program_id(0)
-    n = cnt_ref[g]
+    n_enc = cnt_ref[g]
+    overflow = n_enc < 0
+    k_total = clus_ref.shape[0]
+    lmax = idx_ref.shape[1] - 1
+    n = jnp.where(overflow, k_total, n_enc)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    tmax = tmax_ref[:]
+    tmax = tmax_ref[:]  # pre-clipped to the scene-AABB exit (wrapper)
+    inv_x, inv_y, inv_z = _inv_dirs(dx, dy, dz)
+
+    def k_of(i):
+        return jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
 
     def get_dma(slot, i):
-        k = idx_ref[g, i]
+        k = k_of(i)
         return pltpu.make_async_copy(
             tri_hbm.at[
                 pl.ds(k * (CLUSTER_TRIS // PACK), CLUSTER_TRIS // PACK)
@@ -246,52 +366,57 @@ def _stream_anyhit_kernel(
             sems.at[slot],
         )
 
-    @pl.when(n > 0)
-    def _():
-        get_dma(0, 0).start()
-
     def cond(carry):
         i, occ = carry
-        return (i < n) & jnp.any((occ == 0) & (tmax > 0.0))
+        live = jnp.where(occ > 0, 0.0, tmax)
+        # stop when every lane is occluded/exhausted, or (sorted lists)
+        # the next cluster starts past every live lane's range
+        return (i < n) & (
+            (overflow & jnp.any(live > 0.0))
+            | (tmin_ref[g, jnp.minimum(i, lmax)] <= jnp.max(live))
+        )
 
     def loop(carry):
         i, occ = carry
-        slot = jax.lax.rem(i, 2)
+        k = k_of(i)
+        live = jnp.where(occ > 0, 0.0, tmax)
+        enter = _cluster_aabb_any(
+            clus_ref[k], ox, oy, oz, inv_x, inv_y, inv_z, live
+        )
 
-        @pl.when(i + 1 < n)
-        def _():
-            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+        def dense(occ_in):
+            dma = get_dma(0, i)
+            dma.start()
+            dma.wait()
 
-        get_dma(slot, i).wait()
+            def body(j, o_acc):
+                packed = buf[0, j]
+                for m in range(PACK):
+                    row = [packed[m * _REC + kk] for kk in range(9)]
+                    t, _u, _v, _hit = _moller_trumbore(
+                        row, ox, oy, oz, dx, dy, dz
+                    )
+                    o_acc = o_acc | (t < tmax).astype(jnp.int32)
+                return o_acc
 
-        def body(j, o_acc):
-            packed = buf[slot, j]
-            for m in range(PACK):
-                row = [packed[m * _REC + k] for k in range(9)]
-                t, _u, _v, _hit = _moller_trumbore(
-                    row, ox, oy, oz, dx, dy, dz
-                )
-                o_acc = o_acc | (t < tmax).astype(jnp.int32)
-            return o_acc
+            return jax.lax.fori_loop(0, CLUSTER_TRIS // PACK, body, occ_in)
 
-        occ = jax.lax.fori_loop(0, CLUSTER_TRIS // PACK, body, occ)
+        occ = jax.lax.cond(enter, dense, lambda oc: oc, occ)
         return i + 1, occ
 
-    final, occ = jax.lax.while_loop(
+    _, occ = jax.lax.while_loop(
         cond, loop, (0, jnp.zeros(shape, jnp.int32))
     )
-
-    # drain: if the loop exited early (all lanes occluded), the DMA for
-    # cluster `final` is still in flight — wait so the semaphore is
-    # clean when the kernel returns
-    @pl.when(final < n)
-    def _():
-        get_dma(jax.lax.rem(final, 2), final).wait()
 
     occ_out[:] = occ
 
 
 def _tile(o, d, extra=None):
+    """Flattens rays to [g * S_SUBLANES, LANES] component planes.
+
+    Tile padding REPLICATES the last real ray (not a zero ray): padded
+    lanes then behave exactly like a real lane, so they can never hold
+    the early-termination loop open (their results are dropped)."""
     batch = o.shape[:-1]
     r = 1
     for s in batch:
@@ -300,10 +425,8 @@ def _tile(o, d, extra=None):
     df = d.reshape(r, 3)
     pad = (-r) % S_TILE
     if pad:
-        of = jnp.concatenate([of, jnp.zeros((pad, 3), of.dtype)])
-        df = jnp.concatenate(
-            [df, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], df.dtype), (pad, 1))]
-        )
+        of = jnp.concatenate([of, jnp.broadcast_to(of[-1:], (pad, 3))])
+        df = jnp.concatenate([df, jnp.broadcast_to(df[-1:], (pad, 3))])
     g = (r + pad) // S_TILE
 
     def plane(a):
@@ -313,9 +436,40 @@ def _tile(o, d, extra=None):
     if extra is not None:
         e = extra.reshape(r)
         if pad:
-            e = jnp.concatenate([e, jnp.zeros((pad,), e.dtype)])
+            e = jnp.concatenate([e, jnp.broadcast_to(e[-1:], (pad,))])
         comps.append(plane(e))
     return batch, r, g, comps
+
+
+def _blockify(batch):
+    """For 2-D [H, W] ray batches: maps rays to BLOCK x BLOCK pixel
+    blocks so each kernel tile sees a spatially tight ray frustum
+    (row-major tiling would hand every tile a full-width strip whose
+    direction fan defeats the cull). Pure layout transform — a pad +
+    reshape + transpose, NOT a data-dependent sort. Returns
+    (to_blocks, from_blocks, padded_count) or None for non-2D
+    batches."""
+    if len(batch) != 2:
+        return None
+    h, w = batch
+    bh, bw = BLOCK_H, BLOCK_W
+    ph, pw = (-h) % bh, (-w) % bw
+    hp, wp = h + ph, w + pw
+
+    def to_blocks(x):
+        if ph or pw:
+            pad = ((0, ph), (0, pw)) + ((0, 0),) * (x.ndim - 2)
+            x = jnp.pad(x, pad, mode="edge")
+        x = x.reshape(hp // bh, bh, wp // bw, bw, *x.shape[2:])
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(hp * wp, *x.shape[4:])
+
+    def from_blocks(flat):
+        y = flat.reshape(hp // bh, wp // bw, bh, bw)
+        y = jnp.swapaxes(y, 1, 2).reshape(hp, wp)
+        return y[:h, :w]
+
+    return to_blocks, from_blocks, hp * wp
 
 
 def _ray_sort_keys(clus_rows, o, d):
@@ -372,19 +526,26 @@ def _pad_rows(clus_rows, geom_rows):
 @partial(jax.jit, static_argnames=("interpret", "sort_rays"))
 def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
                                 sort_rays=False):
-    """HBM-streaming cluster-culled closest hit. Scene size bounded by
-    HBM, not VMEM. Find-only: returns {t, hit, u, v, tri}; resolve
-    attributes with ops.hit.surface_at. ``sort_rays`` (default off —
-    see _ray_sort_keys) groups rays by direction cone + origin cell
-    before tiling; output order is unchanged."""
+    """HBM-streaming cluster-culled closest hit with front-to-back
+    early termination. Scene size bounded by HBM, not VMEM. Find-only:
+    returns {t, hit, u, v, tri}; resolve attributes with
+    ops.hit.surface_at. ``sort_rays`` (default off — see
+    _ray_sort_keys) groups rays by direction cone + origin cell before
+    tiling; output order is unchanged."""
     batch = o.shape[:-1]
+    blk = None if sort_rays else _blockify(batch)
     if sort_rays:
         perm, inv = _ray_sort_keys(clus_rows, o, d)
         o = jnp.take(o.reshape(-1, 3), perm, axis=0)
         d = jnp.take(d.reshape(-1, 3), perm, axis=0)
+    if blk is not None:
+        to_b, from_b, _rp = blk
+        o = to_b(o)
+        d = to_b(d)
     geom_rows = pack4_rows(_pad_rows(clus_rows, geom_rows))
     _, r, g, comps = _tile(o, d)
-    idx, counts = cull_lists(clus_rows, comps[0:3], comps[3:6], g)
+    idx, counts, tmins = cull_lists(clus_rows, comps[0:3], comps[3:6], g)
+    tcap = scene_tcap(clus_rows, comps[0:3], comps[3:6])
 
     shape = (g * S_SUBLANES, LANES)
     spec = pl.BlockSpec(
@@ -393,9 +554,13 @@ def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
     f32 = jax.ShapeDtypeStruct(shape, jnp.float32)
     i32 = jax.ShapeDtypeStruct(shape, jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(g,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [spec] * 6,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster AABBs
+            pl.BlockSpec(memory_space=pl.ANY),  # triangle rows in HBM
+        ]
+        + [spec] * 7,
         out_specs=[spec] * 4,
         scratch_shapes=[
             pltpu.VMEM((2, CLUSTER_TRIS // PACK, PACK * _REC), jnp.float32),
@@ -407,11 +572,13 @@ def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
         out_shape=(f32, i32, f32, f32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, counts, geom_rows, *comps)
+    )(idx, counts, tmins, clus_rows, geom_rows, *comps, tcap)
 
     from .trace_kernels import _reshape_i32
 
     def restore(flat):
+        if blk is not None:
+            return from_b(flat)
         if sort_rays:
             flat = jnp.take(flat, inv)
         return flat.reshape(batch)
@@ -436,23 +603,42 @@ def stream_trace_anyhit_pallas(
 ):
     batch = o.shape[:-1]
     t_max = jnp.broadcast_to(t_max, batch)
+    blk = None if sort_rays else _blockify(batch)
     if sort_rays:
         perm, inv = _ray_sort_keys(clus_rows, o, d)
         o = jnp.take(o.reshape(-1, 3), perm, axis=0)
         d = jnp.take(d.reshape(-1, 3), perm, axis=0)
         t_max = jnp.take(t_max.reshape(-1), perm)
+    if blk is not None:
+        to_b, from_b, _rp = blk
+        o = to_b(o)
+        d = to_b(d)
+        t_max = to_b(t_max)
     geom_rows = pack4_rows(_pad_rows(clus_rows, geom_rows))
     _, r, g, comps = _tile(o, d, extra=t_max.astype(jnp.float32))
-    idx, counts = cull_lists(clus_rows, comps[0:3], comps[3:6], g)
+    # clip unbounded shadow rays to the scene-AABB exit: no occluder
+    # lies beyond it, and finite ranges both cull clusters and close
+    # the early-termination loop
+    tmax_plane = jnp.minimum(
+        comps[6], scene_tcap(clus_rows, comps[0:3], comps[3:6])
+    )
+    comps = comps[:6] + [tmax_plane]
+    idx, counts, tmins = cull_lists(
+        clus_rows, comps[0:3], comps[3:6], g, tmax_plane=tmax_plane
+    )
 
     shape = (g * S_SUBLANES, LANES)
     spec = pl.BlockSpec(
         (S_SUBLANES, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(g,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [spec] * 7,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        + [spec] * 7,
         out_specs=spec,
         scratch_shapes=[
             pltpu.VMEM((2, CLUSTER_TRIS // PACK, PACK * _REC), jnp.float32),
@@ -464,8 +650,10 @@ def stream_trace_anyhit_pallas(
         out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, counts, geom_rows, *comps)
+    )(idx, counts, tmins, clus_rows, geom_rows, *comps)
     flat = occ.reshape(-1)[:r]
+    if blk is not None:
+        return from_b(flat) > 0
     if sort_rays:
         flat = jnp.take(flat, inv)
     return (flat > 0).reshape(batch)

@@ -17,14 +17,83 @@ The dispatcher `trace` picks a strategy from scene size/config.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..scene.types import Scene
 from .hit import TriangleHit
 from .intersect import ray_triangle
+
+#: When set (via trace_rows_sharded), the public trace entry points
+#: wrap themselves in a shard_map over the leading (pixel-row) axis of
+#: the ray arrays — so the fused Pallas kernels run PER SHARD on real
+#: multi-chip hardware instead of falling back to GSPMD partitioning
+#: (which cannot partition a pallas_call). Scene operands are
+#: replicated; under jax.grad the shard_map transpose psums the
+#: scene-parameter cotangents over the mesh (SURVEY.md §5.8).
+_TRACE_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "strolle_trace_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def trace_rows_sharded(mesh):
+    """Trace-time context: while active, trace_surface / trace_closest /
+    trace_anyhit run under shard_map over `mesh` with ray rows sharded
+    across every mesh axis. Pass mesh=None for a no-op (single-device).
+
+    MUST be active while the enclosing stage program TRACES — callers
+    thread the mesh as a static jit argument so each mesh gets its own
+    traced program (models/restir.py stage functions)."""
+    if mesh is None:
+        yield
+        return
+    token = _TRACE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _TRACE_MESH.reset(token)
+
+
+def _row_spec(mesh) -> P:
+    # rows shard over ALL mesh axes (host-major for ('host','chip'))
+    return P(tuple(mesh.axis_names))
+
+
+def _shard_over_rows(mesh, fn, scene, *ray_args):
+    """Runs fn(scene, *ray_args) under shard_map with ray rows sharded
+    and the scene replicated. The trace-mesh context is cleared inside
+    the shard body so the nested public entry point runs its real
+    single-shard implementation."""
+    spec = _row_spec(mesh)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(),) + (spec,) * len(ray_args),
+        out_specs=spec,
+    )
+    def body(scene_rep, *rays):
+        token = _TRACE_MESH.set(None)
+        try:
+            return fn(scene_rep, *rays)
+        finally:
+            _TRACE_MESH.reset(token)
+
+    return body(scene, *ray_args)
+
+
+def _interpret() -> bool:
+    """STROLLE_PALLAS_INTERPRET=1 runs every Pallas kernel in interpret
+    mode (and reports the Pallas paths as available on CPU) so the
+    CPU test mesh exercises the real kernel code inside shard_map."""
+    return os.environ.get("STROLLE_PALLAS_INTERPRET", "") == "1"
 
 _BRUTE_CHUNK = 128
 #: Scenes up to this many triangles use brute force by default.
@@ -66,6 +135,9 @@ def _cluster_kernel_fits(scene: Scene) -> bool:
 
 
 def _cluster_rows(scene: Scene):
+    if scene.clusters is not None:
+        # prebuilt once per BVH refresh (bvh.build_clusters)
+        return jnp.asarray(scene.clusters)
     from .pallas.cluster_kernels import clusterize_bvh
 
     return clusterize_bvh(
@@ -160,8 +232,9 @@ def trace_anyhit_brute(
 
 
 def _pallas_available() -> bool:
-    """Pallas TPU kernels only lower on the TPU backend."""
-    return jax.default_backend() == "tpu"
+    """Pallas TPU kernels only lower on the TPU backend (or anywhere in
+    interpret mode — see _interpret)."""
+    return jax.default_backend() == "tpu" or _interpret()
 
 
 def _packed_tri_rows(scene: Scene):
@@ -183,7 +256,8 @@ def _trace_closest_pallas(scene: Scene, o, d) -> TriangleHit:
 
     rows = jax.lax.stop_gradient(_packed_tri_rows(scene))
     t, tri, u, v = trace_closest_brute_pallas(
-        rows, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+        rows, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+        interpret=_interpret(),
     )
     verts = scene.geometry.positions[jnp.maximum(tri, 0)]
     t2, u2, v2, _ = ray_triangle(
@@ -207,6 +281,7 @@ def _trace_anyhit_pallas(scene: Scene, o, d, t_max):
         jax.lax.stop_gradient(o),
         jax.lax.stop_gradient(d),
         jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+        interpret=_interpret(),
     )
 
 
@@ -247,6 +322,13 @@ def trace_surface(
     path, use_pallas=False) it falls back to trace_closest +
     surface_at.
     """
+    mesh = _TRACE_MESH.get()
+    if mesh is not None:
+        return _shard_over_rows(
+            mesh,
+            lambda s, oo, dd: trace_surface(s, oo, dd, regularize, use_pallas),
+            scene, o, d,
+        )
     from .hit import NUDGE_OFFSET, Surface, surface_at
     from .gather import gather_rows
     from .texture import sample_material_channel
@@ -279,7 +361,7 @@ def trace_surface(
             from .pallas.stream_kernels import stream_trace_surface_pallas
 
             sout = stream_trace_surface_pallas(
-                _cluster_rows(scene), rows, o, d
+                _cluster_rows(scene), rows, o, d, interpret=_interpret()
             )
             hit = TriangleHit(
                 t=jnp.where(sout["hit"], sout["t"], jnp.inf),
@@ -292,7 +374,7 @@ def trace_surface(
             from .pallas.cluster_kernels import cluster_trace_surface_pallas
 
             out = cluster_trace_surface_pallas(
-                _cluster_rows(scene), rows, o, d
+                _cluster_rows(scene), rows, o, d, interpret=_interpret()
             )
         elif _bvh_kernel_fits(scene):
             from .pallas.bvh_kernels import (
@@ -300,13 +382,15 @@ def trace_surface(
                 pack_nodes,
             )
 
-            out = bvh_trace_surface_pallas(pack_nodes(scene.bvh), rows, o, d)
+            out = bvh_trace_surface_pallas(
+                pack_nodes(scene.bvh), rows, o, d, interpret=_interpret()
+            )
         else:
             hit = trace_closest(scene, o, d)
             return surface_at(scene, o, d, hit, regularize=regularize)
         some = out["hit"]
     else:
-        out = trace_surface_pallas(rows, o, d)
+        out = trace_surface_pallas(rows, o, d, interpret=_interpret())
         some = out["tri"] >= 0
 
     t = jnp.where(some, out["t"], 0.0)
@@ -370,7 +454,7 @@ def _trace_closest_opaque(scene: Scene, o, d) -> TriangleHit:
             sg = jax.lax.stop_gradient
             sout = stream_trace_surface_pallas(
                 _cluster_rows(sg(scene)), _packed_geom_rows(sg(scene)),
-                sg(o), sg(d),
+                sg(o), sg(d), interpret=_interpret(),
             )
             # recompute t/u/v through the detached winner so gradients
             # w.r.t. rays and vertex positions flow (same detach-and-
@@ -449,6 +533,9 @@ def trace_closest(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> TriangleHit:
     hits whose sampled base-color alpha < 1 are skipped by restarting the
     ray past them (the TPU-shaped equivalent of the reference's
     mid-traversal alpha re-test, ray.rs:212-229)."""
+    mesh = _TRACE_MESH.get()
+    if mesh is not None:
+        return _shard_over_rows(mesh, trace_closest, scene, o, d)
     if not scene.has_alpha:
         return _trace_closest_opaque(scene, o, d)
 
@@ -505,6 +592,7 @@ def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
                 jax.lax.stop_gradient(o),
                 jax.lax.stop_gradient(d),
                 jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+                interpret=_interpret(),
             )
         if (
             _pallas_available()
@@ -520,6 +608,7 @@ def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
                 jax.lax.stop_gradient(o),
                 jax.lax.stop_gradient(d),
                 jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+                interpret=_interpret(),
             )
         if _pallas_available() and _bvh_kernel_fits(scene):
             from .pallas.bvh_kernels import bvh_trace_anyhit_pallas, pack_nodes
@@ -531,6 +620,7 @@ def _trace_anyhit_opaque(scene: Scene, o, d, t_max) -> jnp.ndarray:
                 jax.lax.stop_gradient(o),
                 jax.lax.stop_gradient(d),
                 jax.lax.stop_gradient(jnp.broadcast_to(t_max, o.shape[:-1])),
+                interpret=_interpret(),
             )
         from ..bvh.traverse import trace_anyhit_bvh
 
@@ -551,6 +641,10 @@ def trace_anyhit(
     """Occlusion query counting only opaque geometry: alpha-blend hits
     do not occlude unless their sampled alpha is 1 (ray.rs:84-112 with
     the :212-229 alpha re-test)."""
+    mesh = _TRACE_MESH.get()
+    if mesh is not None:
+        t_max = jnp.broadcast_to(t_max, o.shape[:-1])
+        return _shard_over_rows(mesh, trace_anyhit, scene, o, d, t_max)
     if not scene.has_alpha:
         return _trace_anyhit_opaque(scene, o, d, t_max)
 

@@ -21,10 +21,14 @@ The row axis is the same 'px' mesh axis used by parallel/sharding.py
 for the reference tracer; multi-host meshes extend it across hosts
 (gather traffic rides ICI within a slice, DCN across).
 
-Note: on multi-chip hardware the fused Pallas kernels do not partition
-under GSPMD; shard with `RenderConfig(differentiable=True)`-style
-use_pallas=False trace paths, or at block granularity via shard_map
-(future work). The CPU mesh used in tests never takes Pallas paths.
+The trace-heavy stages keep their fused Pallas kernels on multi-chip
+hardware: render_frame_sharded threads the mesh into the stage
+programs, whose trace calls then run under block-granularity shard_map
+(ops.trace.trace_rows_sharded) — each shard invokes the Pallas trace
+kernels on its own rows, while the cross-pixel jnp stages
+(reprojection, spatial resampling, SVGF) stay GSPMD-partitioned. On
+the CPU test mesh, STROLLE_PALLAS_INTERPRET=1 exercises the same
+kernels in interpret mode inside shard_map (tests/test_sharding.py).
 """
 
 from __future__ import annotations
@@ -92,5 +96,10 @@ def render_frame_sharded(
     `state` should come from init_state_sharded / a previous sharded
     call — the sharding then propagates through every stage program and
     the returned channels/state stay row-sharded. Numerically identical
-    to render_frame on one device."""
-    return render_frame(scene, camera, state, seed, config, luts=luts)
+    to render_frame on one device. Trace calls run under shard_map so
+    the Pallas kernels partition (see module docstring); the image
+    height must divide by the mesh size."""
+    assert camera.height % mesh.size == 0, (camera.height, mesh.size)
+    return render_frame(
+        scene, camera, state, seed, config, luts=luts, mesh=mesh
+    )

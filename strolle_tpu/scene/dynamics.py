@@ -638,6 +638,7 @@ class SceneEditor:
 
         arrays = pad_nodes(arrays, self._node_cap)
         self._bvh = arrays.replace(max_depth=max(arrays.max_depth, 48))
+        self._clusters_np = None  # lazily rebuilt in tick (big scenes)
         self._geometry_dirty = pending
 
     def _refit_geometry(self):
@@ -705,6 +706,26 @@ class SceneEditor:
             self._node_cap,
         )
         self._bvh = arrays.replace(max_depth=self._bvh.max_depth)
+        self._clusters_np = None
+
+    def _clusters_for_scene(self):
+        """Cluster AABB rows for the big-scene kernels, rebuilt only
+        when the BVH changed (not per trace dispatch — VERDICT r3)."""
+        from ..ops.trace import BRUTE_FORCE_MAX_TRIS
+
+        if self._geometry.positions.shape[0] <= BRUTE_FORCE_MAX_TRIS:
+            return None
+        if getattr(self, "_clusters_np", None) is None:
+            from ..ops.pallas.cluster_kernels import clusterize_bvh
+
+            self._clusters_np = np.asarray(
+                clusterize_bvh(
+                    self._bvh,
+                    self._geometry.positions.shape[0],
+                    self._geometry.positions,
+                )
+            )
+        return self._clusters_np
 
     def _motion_rec(self, kind: str, handle: Hashable):
         return (
@@ -786,6 +807,7 @@ class SceneEditor:
             sun_altitude=jnp.asarray(self.sun_altitude, jnp.float32),
             bvh=self._bvh,
             motion=self._build_motion(),
+            clusters=self._clusters_for_scene(),
             has_alpha=any(m.get("alpha_blend") for m in self._materials),
             **compute_static_flags(self._geometry, materials),
         )

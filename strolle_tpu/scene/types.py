@@ -139,6 +139,10 @@ class Scene:
     # Per-instance previous transforms (None = static scene: velocity
     # comes from camera motion alone)
     motion: Optional[Motion] = None
+    # Cluster AABB rows [K, 8] for the large-scene kernels (see
+    # ops/pallas/cluster_kernels.clusterize_bvh), built ONCE per BVH
+    # refresh in scene_with_bvh rather than per trace dispatch
+    clusters: Optional[jnp.ndarray] = None
     # Static: any AlphaMode::Blend materials present? Gates the
     # alpha-tested traversal path (ray.rs:212-229) at trace time so
     # fully-opaque scenes pay nothing for it.

@@ -39,9 +39,13 @@ def test_cull_lists_conservative(soup, clustered):
     clus, _ = clustered
     o, d = _rays(S_TILE, seed=21)  # exactly one tile
     _, _, g, comps = _tile(o, d)
-    idx, counts = cull_lists(clus, comps[0:3], comps[3:6], g)
+    idx, counts, tmins = cull_lists(clus, comps[0:3], comps[3:6], g)
     assert g == 1
     listed = set(np.asarray(idx[0][: int(counts[0])]).tolist())
+    # the entered prefix is front-to-back ordered (early termination
+    # relies on tmins being sorted ascending over the entered clusters)
+    tm = np.asarray(tmins[0][: int(counts[0])])
+    assert (np.diff(tm) >= 0).all()
 
     ref = trace_closest_brute(soup, o, d)
     tri = np.asarray(ref.tri)
@@ -61,7 +65,7 @@ def test_cull_lists_do_cull_for_coherent_tiles(soup, clustered):
     o = jnp.tile(jnp.asarray([[8.0, 0.1, 0.1]], jnp.float32), (n, 1))
     d_away = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
     _, _, g, comps = _tile(o, d_away)
-    _, counts = cull_lists(clus, comps[0:3], comps[3:6], g)
+    _, counts, _ = cull_lists(clus, comps[0:3], comps[3:6], g)
     assert int(counts[0]) == 0
 
 
