@@ -72,7 +72,12 @@ print(json.dumps({"n": n, "ref_rays_s": ref_rays_s, "rt_ms": rt_ms}))
 
 
 def main() -> None:
-    counts = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    args = [a for a in sys.argv[1:] if not a.startswith("--out")]
+    out_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    counts = [int(a) for a in args] or [1, 2, 4, 8]
     repo = os.path.dirname(os.path.abspath(__file__))
     rows = []
     for n in counts:
@@ -89,16 +94,37 @@ def main() -> None:
             raise SystemExit(1)
 
     base = rows[0]
+    table = []
     print(f"{'devices':>8} {'ref Mrays/s':>12} {'eff%':>6} "
           f"{'realtime ms':>12} {'eff%':>6}")
     for r in rows:
         scale = r["n"] / base["n"]
         ref_eff = r["ref_rays_s"] / (base["ref_rays_s"] * scale) * 100
         rt_eff = base["rt_ms"] / (r["rt_ms"] * scale) * 100
+        table.append({**r, "ref_eff_pct": round(ref_eff, 1),
+                      "rt_eff_pct": round(rt_eff, 1)})
         print(
             f"{r['n']:>8} {r['ref_rays_s'] / 1e6:>12.2f} {ref_eff:>5.0f}% "
             f"{r['rt_ms']:>12.2f} {rt_eff:>5.0f}%"
         )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "note": (
+                        "virtual CPU mesh (xla_force_host_platform_"
+                        "device_count) on shared physical cores — the "
+                        "efficiency column validates the collective "
+                        "structure, NOT real scaling; real-chip "
+                        "measurement needs a pod (BASELINE >=85% target)"
+                    ),
+                    "physical_cpus": os.cpu_count(),
+                    "rows": table,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

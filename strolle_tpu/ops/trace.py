@@ -78,6 +78,11 @@ def _shard_over_rows(mesh, fn, scene, *ray_args):
         mesh=mesh,
         in_specs=(P(),) + (spec,) * len(ray_args),
         out_specs=spec,
+        # pallas_call inside shard_map cannot annotate varying mesh
+        # axes on its outputs (jax would demand `vma` on every
+        # ShapeDtypeStruct); the body is per-shard-pure so the check
+        # adds nothing here
+        check_vma=False,
     )
     def body(scene_rep, *rays):
         token = _TRACE_MESH.set(None)

@@ -84,3 +84,40 @@ def test_dungeon_grad_finite_difference():
     fd = (float(loss(up)) - float(loss(dn))) / (2 * eps)
     assert abs(g) > 0
     assert np.isclose(g, fd, rtol=0.05, atol=1e-5), (g, fd)
+
+
+def test_dungeon_restir_di_matches_direct_lighting_oracle(dg):
+    """DI-only ReSTIR on the DUNGEON (textures + alpha + BVH inside the
+    resampling loop), temporally averaged, must converge to the
+    reference tracer's direct lighting (depth=0: emissive + NEE) —
+    BASELINE.md:20-21 names the dungeon alongside Cornell. Catches
+    atlas/alpha interactions in DI resampling that the Cornell oracle
+    (tests/test_restir.py) cannot see."""
+    from strolle_tpu.models.restir import (
+        RenderConfig, init_state, render_frame,
+    )
+
+    cam = dungeon_camera(48, 32)
+    cfg = RenderConfig(denoise=False, needs_di=True, needs_gi=False)
+    state = init_state(cam)
+    acc = None
+    frames = 40
+    for f in range(frames):
+        ch, state = render_frame(dg, cam, state, jnp.uint32(17 * f + 3), cfg)
+        acc = ch["image"] if acc is None else acc + ch["image"]
+    restir = np.asarray(acc) / frames
+
+    samples = 40
+    ref = np.zeros_like(restir)
+    for s in range(samples):
+        ref += np.asarray(
+            trace_sample(dg, cam, jnp.uint32(s), depth=0, include_sky=False)
+        )
+    ref /= samples
+
+    r = restir[3:-3, 3:-3]
+    g = ref[3:-3, 3:-3]
+    rel = abs(r.mean() - g.mean()) / max(g.mean(), 1e-6)
+    assert rel < 0.15, f"mean brightness off by {rel:.3f}"
+    corr = np.corrcoef(r.flatten(), g.flatten())[0, 1]
+    assert corr > 0.9, f"correlation {corr:.3f}"

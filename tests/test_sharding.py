@@ -135,3 +135,40 @@ def test_sharded_multibounce_realistic_shape():
     _assert_images_match(single, sharded)
     # multi-bounce light actually reaches the image (GI present)
     assert single.mean() > 0.05
+
+
+def test_sharded_realtime_pallas_kernels_inside_shard_map(monkeypatch):
+    """The round-4 block-granularity shard_map path: with
+    STROLLE_PALLAS_INTERPRET=1 the REAL Pallas trace kernels execute
+    (interpret mode) inside each shard of the realtime pipeline — the
+    configuration that runs on multi-chip TPU hardware — and must match
+    the single-device render. Uses a fresh camera shape so the stage
+    programs trace under the env flag (trace-time dispatch)."""
+    import strolle_tpu.ops.trace as T
+    from strolle_tpu.bvh import scene_with_bvh
+    from strolle_tpu.models.restir import (
+        RenderConfig, init_state, render_frame,
+    )
+    from strolle_tpu.parallel.frame_sharding import (
+        init_state_sharded, render_frame_sharded, replicate_scene,
+    )
+
+    monkeypatch.setenv("STROLLE_PALLAS_INTERPRET", "1")
+    assert T._pallas_available()
+
+    scene = scene_with_bvh(cornell_box())
+    camera = cornell_camera(48, 64)  # fresh shape -> fresh traces
+    cfg = RenderConfig()
+    mesh = make_mesh(8)
+
+    st = init_state(camera)
+    for f in range(2):
+        ch, st = render_frame(scene, camera, st, jnp.uint32(f), cfg)
+
+    st2 = init_state_sharded(mesh, camera)
+    scene_rep = replicate_scene(mesh, scene)
+    for f in range(2):
+        ch2, st2 = render_frame_sharded(
+            mesh, scene_rep, camera, st2, jnp.uint32(f), cfg
+        )
+    _assert_images_match(np.asarray(ch["image"]), np.asarray(ch2["image"]))

@@ -65,7 +65,12 @@ def rays(w=800, h=608, coherent=True):
 
 
 def time_strategy(scene, o, d, force: str) -> float:
-    """Returns ms per trace_surface call under the given strategy."""
+    """Returns median ms per trace_surface call under the given
+    strategy. Every timed call gets FRESH origin values: repeated
+    same-value dispatches can be served from a cache through the
+    remote-chip tunnel and then measure nothing (bench.py protocol)."""
+    import statistics
+
     import strolle_tpu.ops.trace as T
 
     old = T.BRUTE_FORCE_MAX_TRIS
@@ -74,17 +79,25 @@ def time_strategy(scene, o, d, force: str) -> float:
     if force in ("cluster", "packet", "stream"):
         T.BIG_SCENE_STRATEGY = force
     try:
-        fn = jax.jit(lambda s, o, d: T.trace_surface(s, o, d))
-        out = fn(scene, o, d)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
+        fn = jax.jit(lambda s, o, d: T.trace_surface(s, o, d).depth)
+        rs = np.random.RandomState(11)
+        trials = 5
+        jits = [
+            jax.device_put(
+                o + jnp.asarray(rs.uniform(0, 1e-4, o.shape).astype(np.float32))
+            )
+            for _ in range(trials + 2)
+        ]
+        for x in jits:
+            x.block_until_ready()
+        fn(scene, jits[0], d).block_until_ready()
+        fn(scene, jits[1], d).block_until_ready()
+        times = []
+        for i in range(2, trials + 2):
             t0 = time.perf_counter()
-            for _ in range(5):
-                out = fn(scene, o, d)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / 5)
-        return best * 1e3
+            fn(scene, jits[i], d).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times) * 1e3
     finally:
         T.BRUTE_FORCE_MAX_TRIS = old
         T.BIG_SCENE_STRATEGY = old_big
