@@ -60,6 +60,58 @@ def tonemap_u8(img: np.ndarray) -> np.ndarray:
     return (a * 255.0 + 0.5).astype(np.uint8)
 
 
+def fxaa(img_u8: np.ndarray) -> np.ndarray:
+    """Luma-directed anti-aliasing on the tonemapped LDR image — the
+    display-chain slot of Bevy's FXAA node in the reference's render
+    graph (bevy-strolle/src/graph.rs:20-43: strolle -> fxaa ->
+    tonemapping -> upscaling). A compact FXAA: per pixel, if the local
+    luma contrast exceeds a threshold, blend toward the 3x3
+    neighborhood average weighted by contrast."""
+    f = img_u8.astype(np.float32)
+    luma = f @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    p = np.pad(luma, 1, mode="edge")
+    lo = np.minimum.reduce(
+        [p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:], luma]
+    )
+    hi = np.maximum.reduce(
+        [p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:], luma]
+    )
+    contrast = hi - lo
+    # FXAA 3.11 thresholds: relative 1/8 of max luma, absolute 1/16
+    edge = contrast > np.maximum(255.0 / 16.0, hi * 0.125)
+    pf = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    blur = (
+        pf[:-2, 1:-1] + pf[2:, 1:-1] + pf[1:-1, :-2] + pf[1:-1, 2:]
+        + pf[:-2, :-2] + pf[:-2, 2:] + pf[2:, :-2] + pf[2:, 2:] + f
+    ) / 9.0
+    amount = np.clip(contrast / np.maximum(hi, 1e-3), 0.0, 0.75)[..., None]
+    out = np.where(edge[..., None], f + (blur - f) * amount, f)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def upscale(img_u8: np.ndarray, factor: float) -> np.ndarray:
+    """Bilinear upscale of the display image (the reference demo
+    renders 640x480 and upscales x1.5 to the window,
+    examples/demo.rs:24-25; Bevy's upscaling node)."""
+    if factor == 1.0:
+        return img_u8
+    h, w = img_u8.shape[:2]
+    oh, ow = int(round(h * factor)), int(round(w * factor))
+    ys = (np.arange(oh, dtype=np.float32) + 0.5) / factor - 0.5
+    xs = (np.arange(ow, dtype=np.float32) + 0.5) / factor - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img_u8.astype(np.float32)
+    top = f[y0][:, x0] * (1 - fx) + f[y0][:, x1] * fx
+    bot = f[y1][:, x0] * (1 - fx) + f[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
 def encode_jpeg(img_u8: np.ndarray, quality: int = 85) -> bytes:
     from PIL import Image
 
@@ -177,6 +229,8 @@ class Viewer:
         target=(0.0, 0.0, 0.0),
         fov_y: float = np.pi / 4,
         include_sky: bool | None = None,
+        use_fxaa: bool = False,
+        upscale_factor: float = 1.0,
     ):
         from .scene.dynamics import SceneEditor
         from .scene.types import Scene
@@ -193,6 +247,8 @@ class Viewer:
         self.settings = CameraSettings(mode=mode, include_sky=include_sky)
         self.renderer.create_camera("view", camera, self.settings)
 
+        self.use_fxaa = use_fxaa
+        self.upscale_factor = float(upscale_factor)
         self._controls: list[dict] = []
         self._lock = threading.Lock()
         self._frame_jpg = encode_jpeg(
@@ -250,6 +306,10 @@ class Viewer:
             self._light_scale = float(m["light_scale"])
         if "pause" in m:
             self.running = not bool(m.get("pause"))
+        if "fxaa" in m:
+            self.use_fxaa = bool(m["fxaa"])
+        if "upscale" in m:
+            self.upscale_factor = max(0.25, min(4.0, float(m["upscale"])))
 
     # -- render loop -------------------------------------------------------
 
@@ -283,6 +343,11 @@ class Viewer:
             "view", scene, self._frame_no if seed is None else seed, luts=luts
         )
         u8 = tonemap_u8(np.asarray(img))
+        # display chain parity: fxaa -> upscale (graph.rs:20-43)
+        if self.use_fxaa:
+            u8 = fxaa(u8)
+        if self.upscale_factor != 1.0:
+            u8 = upscale(u8, self.upscale_factor)
         dt = time.perf_counter() - t0
         with self._lock:
             self._frame_jpg = encode_jpeg(u8)

@@ -94,3 +94,47 @@ def test_light_scale_brightens(viewer):
 def test_tonemap_handles_depth_channel():
     out = tonemap_u8(np.ones((4, 4), np.float32) * 5.0)
     assert out.shape == (4, 4, 3)
+
+
+def test_fxaa_smooths_edges_only():
+    from strolle_tpu.viewer import fxaa
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, 8:] = 255  # hard vertical edge
+    out = fxaa(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # edge columns got blended toward the neighborhood
+    assert out[8, 7].mean() > 0 or out[8, 8].mean() < 255
+    # flat interior untouched
+    assert (out[:, :4] == 0).all() and (out[:, 12:] == 255).all()
+
+
+def test_upscale_factor_and_identity():
+    from strolle_tpu.viewer import upscale
+
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    assert upscale(img, 1.0) is img
+    up = upscale(img, 1.5)  # demo.rs:24-25 viewport factor
+    assert up.shape == (12, 9, 3)
+    assert up.dtype == np.uint8
+    # bilinear: corner values preserved
+    assert (up[0, 0] == img[0, 0]).all()
+
+
+def test_viewer_display_chain_controls():
+    """fxaa/upscale reachable via the control plane and render_one
+    produces the upscaled frame."""
+    from strolle_tpu.bvh import scene_with_bvh
+    from strolle_tpu.camera import make_camera
+    from strolle_tpu.scene.cornell import cornell_box
+    from strolle_tpu.viewer import Viewer
+
+    scene = scene_with_bvh(cornell_box())
+    cam = make_camera((0, 1, 3.4), (0, 1, 0), width=32, height=24)
+    v = Viewer(scene, cam, mode="albedo", target=(0, 1, 0),
+               use_fxaa=True, upscale_factor=1.5)
+    u8 = v.render_one(seed=1)
+    assert u8.shape == (36, 48, 3)
+    v.push_control({"fxaa": False, "upscale": 1.0})
+    u8 = v.render_one(seed=2)
+    assert u8.shape == (24, 32, 3)
