@@ -32,16 +32,24 @@ def main() -> None:
     img = fn(scene, camera, jnp.uint32(0))
     img.block_until_ready()
 
-    best = float("inf")
+    import statistics
+
+    # seeds never repeat across blocks: repeated same-value dispatches
+    # can be served from a cache through the remote tunnel (bench.py
+    # measurement-protocol note) and best-of would pick the fake block
+    times = []
+    f = 0
     for block in range(5):
         t0 = time.perf_counter()
-        for f in range(REPS):
-            img = fn(scene, camera, jnp.uint32(f + 1))
+        for _ in range(REPS):
+            f += 1
+            img = fn(scene, camera, jnp.uint32(f))
         img.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
 
     rays = WIDTH * HEIGHT * (DEPTH + 1) * 2 * REPS
-    print(f"{best / REPS * 1e3:.2f} ms/sample  {rays / best / 1e6:.1f} Mrays/s")
+    print(f"{med / REPS * 1e3:.2f} ms/sample  {rays / med / 1e6:.1f} Mrays/s")
 
 
 if __name__ == "__main__":

@@ -24,6 +24,14 @@ def scene_with_bvh(scene: Scene) -> Scene:
         material_id=geom.material_id[order],
     )
     scene = scene.replace(geometry=geom, bvh=arrays)
+    if scene.motion is not None:
+        # per-triangle instance slots must follow the BVH reordering
+        # (the Engine path applies its own ordering in dynamics.py)
+        scene = scene.replace(
+            motion=scene.motion.replace(
+                instance_id=scene.motion.instance_id[order]
+            )
+        )
     return scene.replace(clusters=build_clusters(scene))
 
 
