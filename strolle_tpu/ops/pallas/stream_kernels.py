@@ -27,20 +27,29 @@ a (8,128)-lane machine:
    so rays that miss everything — and the tile-padding lanes — cannot
    hold the loop open past the geometry they overlap.
 
-3. **Per-lane cluster re-test.** The tile-interval cull is coarse
-   (false positives); before the dense loop each DMA'd cluster is
-   slab-tested per lane against the current best-t and skipped
+3. **Per-lane cluster re-test, then per-SUB-BLOCK re-test.** The
+   tile-interval cull is coarse (false positives); each walked cluster
+   is slab-tested per lane against the current best-t and skipped
    entirely when no lane can improve (compute skip; the prefetched
    DMA still lands, which is the right trade — the stream is
-   compute-bound, not bandwidth-bound).
+   compute-bound, not bandwidth-bound). An ENTERED cluster then walks
+   its SUB sub-blocks (CLUSTER_TRIS/SUB triangles each) with the same
+   per-lane slab test against a finer AABB table, so the dense
+   Möller-Trumbore loop only runs over the sub-blocks some lane can
+   actually improve in — a third hierarchy level that cuts the dense
+   work per entered cluster by the fraction of the cluster the tile's
+   frustum actually clips.
 
 4. **Stream rows from HBM.** Triangle rows stay in HBM
    (memory_space=ANY); the kernel double-buffers CLUSTER rows through
    a [2, C/4, 128] VMEM scratch with async DMA, prefetching cluster
-   i+1 while intersecting cluster i. Rows are packed FOUR triangles
-   per 128-lane row (28 -> 32 floats each, pack4_rows) because Mosaic
-   DMA slices must align to the (8,128) tiling — which also means each
-   scalar row load feeds four Möller-Trumbore evaluations.
+   i+1 while testing/intersecting cluster i (slot i%2 holds the
+   current rows, slot (i+1)%2 receives the prefetch; the one
+   outstanding DMA is drained after the loop). Rows are packed FOUR
+   triangles per 128-lane row (28 -> 32 floats each, pack4_rows)
+   because Mosaic DMA slices must align to the (8,128) tiling — which
+   also means each scalar row load feeds four Möller-Trumbore
+   evaluations.
 
 The kernel is find-only: it returns (t, tri, u, v) with all state in
 loop REGISTER carries (VMEM-scratch accumulators measured ~10x
@@ -89,7 +98,49 @@ BLOCK_W = 64
 PACK = 4
 _REC = 32  # floats per triangle record in the packed layout
 
+#: Sub-blocks per cluster (third hierarchy level). Each entered
+#: cluster's dense loop is split into SUB conditionally-skipped spans
+#: of CLUSTER_TRIS/SUB triangles, gated by a per-lane slab test
+#: against a finer AABB ([K*SUB, 8] VMEM table). 32-triangle
+#: sub-blocks cost ~8 packed-row iterations per entered span vs one
+#: extra vector slab test per span — the span skip wins whenever the
+#: tile's frustum clips less than ~7/8 of the cluster.
+SUB = 8
+
 _BIG = 1e30
+
+
+def sub_aabbs(clus_rows, geom_rows) -> jnp.ndarray:
+    """[K*SUB, 8] sub-block AABB rows (lo3 hi3 pad2) from the raw
+    [T, 28] attribute rows (v0/e1/e2 in columns 0:9, pack_geometry).
+
+    Rows past T (padding) replicate the LAST REAL row's box: the box
+    only has to cover triangles that can hit, and padded rows are
+    degenerate (zeros — Möller-Trumbore misses them), so edge
+    replication keeps the tail sub-blocks tight instead of inflating
+    them with a sentinel. (An "inverted" lo > hi empty-box encoding
+    would test as an infinite slab under the Tavian min/max test —
+    always entered — so it is not an option.)
+    """
+    k = clus_rows.shape[0]
+    need = k * CLUSTER_TRIS
+    v0 = geom_rows[:, 0:3]
+    p1 = v0 + geom_rows[:, 3:6]
+    p2 = v0 + geom_rows[:, 6:9]
+    lo = jnp.minimum(v0, jnp.minimum(p1, p2))
+    hi = jnp.maximum(v0, jnp.maximum(p1, p2))
+    t = geom_rows.shape[0]
+    if t < need:
+        lo = jnp.concatenate(
+            [lo, jnp.broadcast_to(lo[-1:], (need - t, 3))]
+        )
+        hi = jnp.concatenate(
+            [hi, jnp.broadcast_to(hi[-1:], (need - t, 3))]
+        )
+    lo = lo[:need].reshape(k * SUB, CLUSTER_TRIS // SUB, 3).min(axis=1)
+    hi = hi[:need].reshape(k * SUB, CLUSTER_TRIS // SUB, 3).max(axis=1)
+    pad = jnp.zeros((k * SUB, 2), lo.dtype)
+    return jnp.concatenate([lo, hi, pad], axis=-1)
 
 
 def pack4_rows(geom_rows: jnp.ndarray) -> jnp.ndarray:
@@ -236,6 +287,7 @@ def _stream_surface_kernel(
     idx_ref, cnt_ref, tmin_ref,  # scalar prefetch: [g, L] i32, [g] i32
     #                              (-1 = overflow), [g, L] f32
     clus_ref,  # [K, 8] cluster AABB rows in VMEM
+    subs_ref,  # [K*SUB, 8] sub-block AABB rows in VMEM
     tri_hbm,  # [K*C/4, 128] packed rows in HBM (memory_space=ANY)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tcap_ref,
     t_out, tri_out, u_out, v_out,
@@ -253,10 +305,12 @@ def _stream_surface_kernel(
 
     def k_of(i):
         # overflow tiles walk every cluster in index order; normal
-        # tiles walk their front-to-back sorted list
-        return jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
+        # tiles walk their front-to-back sorted list. Clamped so the
+        # pipelined prefetch of i+1 == n stays in range.
+        kk = jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
+        return jnp.minimum(kk, k_total - 1)
 
-    def get_dma(slot, i):
+    def dma(slot, i):
         k = k_of(i)
         return pltpu.make_async_copy(
             tri_hbm.at[
@@ -279,38 +333,66 @@ def _stream_surface_kernel(
     def loop(carry):
         i, bt, btri, bu, bv = carry
         k = k_of(i)
+        slot = jax.lax.rem(i, 2)
 
-        # per-lane slab test against the CURRENT best-t BEFORE any
-        # fetch: skipped clusters cost one vector test and zero HBM
-        # traffic (the decisive step for tiles whose cull list is long
-        # — bt starts at the scene-AABB exit, so miss lanes and tile
+        # software pipeline: slot i%2 was filled by the previous
+        # iteration (or the pre-loop start); kick off cluster i+1 into
+        # the other slot BEFORE testing/intersecting cluster i, so the
+        # next fetch rides under this iteration's compute
+        dma(1 - slot, i + 1).start()
+
+        # per-lane slab test against the CURRENT best-t: skipped
+        # clusters cost one vector test (the prefetched rows simply go
+        # unread — the stream is compute-bound, not bandwidth-bound;
+        # bt starts at the scene-AABB exit, so miss lanes and tile
         # padding terminate with the geometry too)
         enter = _cluster_aabb_any(
             clus_ref[k], ox, oy, oz, inv_x, inv_y, inv_z, bt
         )
         first = k * CLUSTER_TRIS
+        dma(slot, i).wait()
 
         def dense(c):
-            dma = get_dma(0, i)
-            dma.start()
-            dma.wait()
+            # third hierarchy level: walk the cluster's SUB sub-blocks,
+            # slab-testing each against the running best-t; the dense
+            # Möller-Trumbore loop only runs over sub-blocks some lane
+            # can still improve in
+            def sub_walk(s, c2):
+                enter_s = _cluster_aabb_any(
+                    subs_ref[k * SUB + s],
+                    ox, oy, oz, inv_x, inv_y, inv_z, c2[0],
+                )
 
-            def body(j, c2):
-                bt2, btri2, bu2, bv2 = c2
-                packed = buf[0, j]
-                for m in range(PACK):
-                    row = [packed[m * _REC + kk] for kk in range(9)]
-                    t, u, v, _hit = _moller_trumbore(
-                        row, ox, oy, oz, dx, dy, dz
+                def sub_dense(c3):
+                    def body(j, c4):
+                        bt2, btri2, bu2, bv2 = c4
+                        packed = buf[slot, j]
+                        for m in range(PACK):
+                            row = [
+                                packed[m * _REC + kk] for kk in range(9)
+                            ]
+                            t, u, v, _hit = _moller_trumbore(
+                                row, ox, oy, oz, dx, dy, dz
+                            )
+                            better = t < bt2
+                            bt2 = jnp.where(better, t, bt2)
+                            btri2 = jnp.where(
+                                better, first + j * PACK + m, btri2
+                            )
+                            bu2 = jnp.where(better, u, bu2)
+                            bv2 = jnp.where(better, v, bv2)
+                        return bt2, btri2, bu2, bv2
+
+                    rps = CLUSTER_TRIS // PACK // SUB
+                    return jax.lax.fori_loop(
+                        s * rps, (s + 1) * rps, body, c3
                     )
-                    better = t < bt2
-                    bt2 = jnp.where(better, t, bt2)
-                    btri2 = jnp.where(better, first + j * PACK + m, btri2)
-                    bu2 = jnp.where(better, u, bu2)
-                    bv2 = jnp.where(better, v, bv2)
-                return bt2, btri2, bu2, bv2
 
-            return jax.lax.fori_loop(0, CLUSTER_TRIS // PACK, body, c)
+                return jax.lax.cond(
+                    enter_s, sub_dense, lambda c3: c3, c2
+                )
+
+            return jax.lax.fori_loop(0, SUB, sub_walk, c)
 
         bt, btri, bu, bv = jax.lax.cond(
             enter, dense, lambda c: c, (bt, btri, bu, bv)
@@ -318,6 +400,7 @@ def _stream_surface_kernel(
         return i + 1, bt, btri, bu, bv
 
     shape = (S_SUBLANES, LANES)
+    dma(0, 0).start()  # prime the pipeline
     init = (
         0,
         tcap_ref[:],  # best-t starts at the scene-AABB exit distance
@@ -325,7 +408,10 @@ def _stream_surface_kernel(
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    _, bt, btri, bu, bv = jax.lax.while_loop(cond, loop, init)
+    i_f, bt, btri, bu, bv = jax.lax.while_loop(cond, loop, init)
+    # drain the one outstanding prefetch (started for cluster i_f by
+    # the last iteration, or the pre-loop start when no iteration ran)
+    dma(jax.lax.rem(i_f, 2), i_f).wait()
 
     t_out[:] = bt
     tri_out[:] = btri
@@ -336,6 +422,7 @@ def _stream_surface_kernel(
 def _stream_anyhit_kernel(
     idx_ref, cnt_ref, tmin_ref,
     clus_ref,
+    subs_ref,
     tri_hbm,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     occ_out,
@@ -354,9 +441,10 @@ def _stream_anyhit_kernel(
     inv_x, inv_y, inv_z = _inv_dirs(dx, dy, dz)
 
     def k_of(i):
-        return jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
+        kk = jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
+        return jnp.minimum(kk, k_total - 1)
 
-    def get_dma(slot, i):
+    def dma(slot, i):
         k = k_of(i)
         return pltpu.make_async_copy(
             tri_hbm.at[
@@ -379,34 +467,54 @@ def _stream_anyhit_kernel(
     def loop(carry):
         i, occ = carry
         k = k_of(i)
+        slot = jax.lax.rem(i, 2)
+        dma(1 - slot, i + 1).start()  # pipeline: prefetch next cluster
         live = jnp.where(occ > 0, 0.0, tmax)
         enter = _cluster_aabb_any(
             clus_ref[k], ox, oy, oz, inv_x, inv_y, inv_z, live
         )
+        dma(slot, i).wait()
 
         def dense(occ_in):
-            dma = get_dma(0, i)
-            dma.start()
-            dma.wait()
+            def sub_walk(s, o2):
+                live2 = jnp.where(o2 > 0, 0.0, tmax)
+                enter_s = _cluster_aabb_any(
+                    subs_ref[k * SUB + s],
+                    ox, oy, oz, inv_x, inv_y, inv_z, live2,
+                )
 
-            def body(j, o_acc):
-                packed = buf[0, j]
-                for m in range(PACK):
-                    row = [packed[m * _REC + kk] for kk in range(9)]
-                    t, _u, _v, _hit = _moller_trumbore(
-                        row, ox, oy, oz, dx, dy, dz
+                def sub_dense(o3):
+                    def body(j, o_acc):
+                        packed = buf[slot, j]
+                        for m in range(PACK):
+                            row = [
+                                packed[m * _REC + kk] for kk in range(9)
+                            ]
+                            t, _u, _v, _hit = _moller_trumbore(
+                                row, ox, oy, oz, dx, dy, dz
+                            )
+                            o_acc = o_acc | (t < tmax).astype(jnp.int32)
+                        return o_acc
+
+                    rps = CLUSTER_TRIS // PACK // SUB
+                    return jax.lax.fori_loop(
+                        s * rps, (s + 1) * rps, body, o3
                     )
-                    o_acc = o_acc | (t < tmax).astype(jnp.int32)
-                return o_acc
 
-            return jax.lax.fori_loop(0, CLUSTER_TRIS // PACK, body, occ_in)
+                return jax.lax.cond(
+                    enter_s, sub_dense, lambda o3: o3, o2
+                )
+
+            return jax.lax.fori_loop(0, SUB, sub_walk, occ_in)
 
         occ = jax.lax.cond(enter, dense, lambda oc: oc, occ)
         return i + 1, occ
 
-    _, occ = jax.lax.while_loop(
+    dma(0, 0).start()  # prime the pipeline
+    i_f, occ = jax.lax.while_loop(
         cond, loop, (0, jnp.zeros(shape, jnp.int32))
     )
+    dma(jax.lax.rem(i_f, 2), i_f).wait()  # drain outstanding prefetch
 
     occ_out[:] = occ
 
@@ -542,6 +650,7 @@ def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
         to_b, from_b, _rp = blk
         o = to_b(o)
         d = to_b(d)
+    subs = sub_aabbs(clus_rows, geom_rows)
     geom_rows = pack4_rows(_pad_rows(clus_rows, geom_rows))
     _, r, g, comps = _tile(o, d)
     idx, counts, tmins = cull_lists(clus_rows, comps[0:3], comps[3:6], g)
@@ -558,6 +667,7 @@ def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
         grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sub-block AABBs
             pl.BlockSpec(memory_space=pl.ANY),  # triangle rows in HBM
         ]
         + [spec] * 7,
@@ -572,7 +682,7 @@ def stream_trace_surface_pallas(clus_rows, geom_rows, o, d, interpret=False,
         out_shape=(f32, i32, f32, f32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, counts, tmins, clus_rows, geom_rows, *comps, tcap)
+    )(idx, counts, tmins, clus_rows, subs, geom_rows, *comps, tcap)
 
     from .trace_kernels import _reshape_i32
 
@@ -614,6 +724,7 @@ def stream_trace_anyhit_pallas(
         o = to_b(o)
         d = to_b(d)
         t_max = to_b(t_max)
+    subs = sub_aabbs(clus_rows, geom_rows)
     geom_rows = pack4_rows(_pad_rows(clus_rows, geom_rows))
     _, r, g, comps = _tile(o, d, extra=t_max.astype(jnp.float32))
     # clip unbounded shadow rays to the scene-AABB exit: no occluder
@@ -636,6 +747,7 @@ def stream_trace_anyhit_pallas(
         grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sub-block AABBs
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         + [spec] * 7,
@@ -650,7 +762,7 @@ def stream_trace_anyhit_pallas(
         out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, counts, tmins, clus_rows, geom_rows, *comps)
+    )(idx, counts, tmins, clus_rows, subs, geom_rows, *comps)
     flat = occ.reshape(-1)[:r]
     if blk is not None:
         return from_b(flat) > 0
