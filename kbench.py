@@ -26,30 +26,36 @@ def main() -> None:
     scene = scene_with_bvh(cornell_box())
     camera = cornell_camera(WIDTH, HEIGHT)
 
-    fn = jax.jit(
-        partial(trace_sample, depth=DEPTH, include_sky=False)
-    )
-    img = fn(scene, camera, jnp.uint32(0))
-    img.block_until_ready()
+    # bench.py protocol: chain samples INSIDE one jit and fetch a
+    # scalar checksum — unfetched dispatch chains are elided by the
+    # tunnel, and fresh seeds defeat its same-value dispatch cache.
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(scene, seed0, n):
+        def body(i, acc):
+            return acc + trace_sample(
+                scene, camera, seed0 + i.astype(jnp.uint32),
+                depth=DEPTH, include_sky=False,
+            ).sum()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     import statistics
 
-    # seeds never repeat across blocks: repeated same-value dispatches
-    # can be served from a cache through the remote tunnel (bench.py
-    # measurement-protocol note) and best-of would pick the fake block
-    times = []
-    f = 0
+    float(chain(scene, jnp.uint32(0), REPS))
+    float(chain(scene, jnp.uint32(1), 4 * REPS))
+    short = []
+    long = []
     for block in range(5):
         t0 = time.perf_counter()
-        for _ in range(REPS):
-            f += 1
-            img = fn(scene, camera, jnp.uint32(f))
-        img.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    med = statistics.median(times)
+        float(chain(scene, jnp.uint32(10 + block), REPS))
+        short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chain(scene, jnp.uint32(100 + block), 4 * REPS))
+        long.append(time.perf_counter() - t0)
+    # marginal cost cancels the host sync round-trip
+    per = (statistics.median(long) - statistics.median(short)) / (3 * REPS)
 
-    rays = WIDTH * HEIGHT * (DEPTH + 1) * 2 * REPS
-    print(f"{med / REPS * 1e3:.2f} ms/sample  {rays / med / 1e6:.1f} Mrays/s")
+    rays = WIDTH * HEIGHT * (DEPTH + 1) * 2
+    print(f"{per * 1e3:.2f} ms/sample  {rays / per / 1e6:.1f} Mrays/s")
 
 
 if __name__ == "__main__":

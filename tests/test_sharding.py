@@ -13,12 +13,22 @@ from strolle_tpu.scene.cornell import cornell_box, cornell_camera
 def _assert_images_match(single, sharded):
     """XLA compiles the partitioned program differently, so fp rounding
     can flip discrete branches (triangle-edge hits, occlusion) on rare
-    pixels; require near-exact agreement everywhere else."""
+    pixels; require near-exact agreement everywhere else.
+
+    Branch flips from fp rounding are SCATTERED; a sharding bug (e.g. a
+    mis-gathered halo row) concentrates differences on shard-boundary
+    rows — so besides the global bound, no single row may hold a
+    concentrated stripe of differing pixels."""
     assert sharded.shape == single.shape
     diff = np.abs(single - sharded).max(axis=-1)
     frac_bad = (diff > 1e-5).mean()
     assert frac_bad < 0.01, f"{frac_bad:.4f} of pixels differ"
     assert np.median(diff) <= 1e-6
+    row_bad = (diff > 1e-5).mean(axis=1)
+    assert row_bad.max() < 0.25, (
+        f"row {row_bad.argmax()} has {row_bad.max():.2f} differing "
+        "pixels — shard-boundary artifact"
+    )
 
 
 def test_sharded_matches_single_device():
@@ -109,11 +119,20 @@ def test_sharded_realtime_frame_matches_single():
     for a, b in zip(
         jax.tree.leaves(st), jax.tree.leaves(st2)
     ):
-        if np.asarray(a).dtype == np.bool_:
-            assert (np.asarray(a) == np.asarray(b)).mean() > 0.99
-        elif np.issubdtype(np.asarray(a).dtype, np.floating):
-            d = np.abs(np.asarray(a) - np.asarray(b))
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.bool_:
+            agree = a == b
+            assert agree.mean() > 0.99
+            if agree.ndim >= 2 and agree.shape[0] == camera.height:
+                # disagreements must be scattered, not a shard-boundary
+                # stripe (see _assert_images_match)
+                row = agree.reshape(agree.shape[0], -1).mean(axis=1)
+                assert row.min() > 0.75, f"row {row.argmin()}: {row.min()}"
+        elif np.issubdtype(a.dtype, np.floating):
+            d = np.abs(a - b)
             assert np.median(d) <= 1e-5
+            # the bulk of every leaf must agree tightly, not just half
+            assert np.quantile(d, 0.95) <= 1e-3, float(np.quantile(d, 0.95))
 
 
 def test_sharded_multibounce_realistic_shape():

@@ -66,9 +66,12 @@ def rays(w=800, h=608, coherent=True):
 
 def time_strategy(scene, o, d, force: str) -> float:
     """Returns median ms per trace_surface call under the given
-    strategy. Every timed call gets FRESH origin values: repeated
-    same-value dispatches can be served from a cache through the
-    remote-chip tunnel and then measure nothing (bench.py protocol)."""
+    strategy. Protocol (bench.py module docstring): FRESH origin values
+    per trial (same-value dispatches can be served from a tunnel
+    cache), and the jitted program ends in a scalar checksum fetched
+    with float() — `block_until_ready` on a never-fetched result is a
+    no-op on the tunneled runtime (the whole chain is elided), so an
+    unfetched timing measures enqueue bookkeeping, not the trace."""
     import statistics
 
     import strolle_tpu.ops.trace as T
@@ -79,7 +82,11 @@ def time_strategy(scene, o, d, force: str) -> float:
     if force in ("cluster", "packet", "stream"):
         T.BIG_SCENE_STRATEGY = force
     try:
-        fn = jax.jit(lambda s, o, d: T.trace_surface(s, o, d).depth)
+        @jax.jit
+        def fn(s, o, d):
+            t = T.trace_surface(s, o, d).depth
+            return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
         rs = np.random.RandomState(11)
         trials = 5
         jits = [
@@ -90,12 +97,12 @@ def time_strategy(scene, o, d, force: str) -> float:
         ]
         for x in jits:
             x.block_until_ready()
-        fn(scene, jits[0], d).block_until_ready()
-        fn(scene, jits[1], d).block_until_ready()
+        float(fn(scene, jits[0], d))
+        float(fn(scene, jits[1], d))
         times = []
         for i in range(2, trials + 2):
             t0 = time.perf_counter()
-            fn(scene, jits[i], d).block_until_ready()
+            float(fn(scene, jits[i], d))
             times.append(time.perf_counter() - t0)
         return statistics.median(times) * 1e3
     finally:
