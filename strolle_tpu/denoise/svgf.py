@@ -127,8 +127,13 @@ def temporal_reproject(
     sample_rgb = samples[..., :3]
     sample_luma = vm.luma(sample_rgb)
 
-    prev_color = bilinear_reproject(reproj, state.prev_color)
-    prev_moments = bilinear_reproject(reproj, state.prev_moments)
+    # one bilinear fetch for color + moments (the take cost is flat in
+    # the channel count, ops/gather.py)
+    prev = bilinear_reproject(
+        reproj,
+        jnp.concatenate([state.prev_color, state.prev_moments], axis=-1),
+    )
+    prev_color, prev_moments = prev[..., :3], prev[..., 3:]
 
     use_hist = reproj.is_some & (samples[..., 3] > 0.0) & ~sky
     history = jnp.minimum(prev_moments[..., 0] + 1.0, history_clamp)

@@ -149,12 +149,14 @@ def di_temporal(
         )
     )
 
-    # fetch history at the reprojected position
+    # fetch history + prev surface at the reprojected position in ONE
+    # row-batched take (ops/gather.py: per-take cost is flat in the
+    # field count, so the two trees share the gather)
     has_rep = reproj.is_some
     rpx, rpy = reproj.prev_xy_round
     rx = jnp.clip(rpx, 0, camera.width - 1)
     ry = jnp.clip(rpy, 0, camera.height - 1)
-    rhs = gather.gather_tree(prev, ry, rx)
+    rhs, rhs_surf = gather.gather_tree((prev, prev_surf), ry, rx)
     rhs = rsv.select(has_rep, rhs, rsv.DiReservoirs.empty(shape))
     rhs = rsv.clamp_m(rhs, tuning.di_temporal_m_clamp)
 
@@ -168,8 +170,6 @@ def di_temporal(
             (remapped >= 0) & ~killed & ~rhs.is_empty, remapped, rhs.light_id
         ),
     )
-
-    rhs_surf = _gather_surface(prev_surf, ry, rx)
 
     lhs_rhs_pdf = jnp.where(
         (lhs.m > 0.0) & rhs_surf.is_some,
@@ -280,9 +280,8 @@ def di_spatial(
         done = done | accept
 
     found = done & active & surf.is_some
-    rhs = gather.gather_tree(res, rhs_y, rhs_x)
+    rhs, rhs_surf = gather.gather_tree((res, surf), rhs_y, rhs_x)
     rhs = rsv.select(found, rhs, rsv.DiReservoirs.empty(shape))
-    rhs_surf = _gather_surface(surf, rhs_y, rhs_x)
 
     lhs_rhs_pdf = jnp.where(
         found, di_sample_pdf(scene, lhs.light_id, lhs.light_point, rhs_surf), 0.0

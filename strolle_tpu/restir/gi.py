@@ -592,9 +592,8 @@ def gi_spatial(
         done = done | accept
 
     found = done & active & surf.is_some & ~lhs.is_empty
-    rhs = res.gather(rhs_y, rhs_x)
+    rhs, rhs_surf = gather.gather_tree((res, surf), rhs_y, rhs_x)
     rhs = select(found, rhs, GiReservoirs.empty(shape))
-    rhs_surf = gather.gather_tree(surf, rhs_y, rhs_x)
 
     lhs_rhs_pdf = jnp.where(found, sample_pdf(lhs, rhs_surf), 0.0)
     rhs_lhs_pdf = jnp.where(found, sample_pdf(rhs, surf), 0.0)
@@ -666,9 +665,12 @@ def gi_preview(
 
     xs_f = xs.astype(jnp.float32)
     ys_f = ys.astype(jnp.float32)
-    gates, gate_specs = gather.pack_screen(surf.depth, surf.normal, surf.is_some)
+    # gates + the full candidate tree share ONE packed matrix so each
+    # try costs a single row-batched take (ops/gather.py)
     nb_leaves, nb_treedef = jax.tree.flatten(neighbors)
-    nb_flat, nb_specs = gather.pack_screen(*nb_leaves)
+    flat, flat_specs = gather.pack_screen(
+        surf.depth, surf.normal, surf.is_some, *nb_leaves
+    )
 
     stopped = jnp.zeros(shape, bool)
     for nth in range(8):
@@ -681,14 +683,14 @@ def gi_preview(
         same = (cx == xs) & (cy == ys)
         stopped = stopped | same  # reference bails out entirely here
         in_budget = nth < max_samples
-        c_depth, c_normal, c_some = gather.take_screen(gates, gate_specs, cy, cx)
+        c_depth, c_normal, c_some, *c_nb = gather.take_screen(
+            flat, flat_specs, cy, cx
+        )
         c_sky = ~c_some
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.25 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.5
 
-        cand = jax.tree.unflatten(
-            nb_treedef, gather.take_screen(nb_flat, nb_specs, cy, cx)
-        )
+        cand = jax.tree.unflatten(nb_treedef, c_nb)
         cpdf = sample_pdf(cand, surf)
         jac = sample_jacobian(cand, surf.point)
         jac_ok = (

@@ -124,28 +124,37 @@ def build_reprojection_map(
     prev_px = xs.astype(jnp.float32) - vel_x
     prev_py = ys.astype(jnp.float32) - vel_y
 
-    flat, specs = gather.pack_screen(prev_surf.normal, prev_surf.depth)
+    # ALL five taps (4 bilinear corners + the rounded center) come from
+    # ONE row-batched take: the corner taps are the shifted-variant
+    # channels of gather.take_bilinear, and the rounded tap is a select
+    # among them (round(p) is floor or ceil per axis).
+    taps, fy, fx = gather.take_bilinear(
+        (prev_surf.normal, prev_surf.depth), prev_py, prev_px
+    )
+    cx = fx + 1
+    cy = fy + 1
 
     rx = jnp.round(prev_px).astype(jnp.int32)
     ry = jnp.round(prev_py).astype(jnp.int32)
     in_bounds = (rx >= 0) & (rx < w) & (ry >= 0) & (ry < h)
-    pn, pd = gather.take_screen(
-        flat, specs, jnp.clip(ry, 0, h - 1), jnp.clip(rx, 0, w - 1)
-    )
+    up_y = ry > fy
+    up_x = rx > fx
+
+    def pick(cond, a, b):
+        return jnp.where(cond[..., None] if a.ndim == 3 else cond, a, b)
+
+    pn = pick(up_x, pick(up_y, taps[3][0], taps[1][0]),
+              pick(up_y, taps[2][0], taps[0][0]))
+    pd = pick(up_x, pick(up_y, taps[3][1], taps[1][1]),
+              pick(up_y, taps[2][1], taps[0][1]))
     confidence = surface_similarity(pn, pd, surf.normal, surf.depth)
     confidence = jnp.where(in_bounds & (surf.depth > 0.0), confidence, 0.0)
 
     # validity bits for the 4 bilinear taps (floor/ceil combinations)
-    fx = jnp.floor(prev_px).astype(jnp.int32)
-    fy = jnp.floor(prev_py).astype(jnp.int32)
-    cx = jnp.ceil(prev_px).astype(jnp.int32)
-    cy = jnp.ceil(prev_py).astype(jnp.int32)
     validity = jnp.zeros((h, w), jnp.int32)
-    for bit, (px, py) in enumerate(((fx, fy), (cx, fy), (fx, cy), (cx, cy))):
+    corners = ((fx, fy), (cx, fy), (fx, cy), (cx, cy))
+    for bit, ((px, py), (tn, td)) in enumerate(zip(corners, taps)):
         inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-        tn, td = gather.take_screen(
-            flat, specs, jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)
-        )
         ok = inb & (surface_similarity(tn, td, surf.normal, surf.depth) >= 0.25)
         validity = validity | jnp.where(ok, 1 << bit, 0)
     validity = jnp.where(confidence > 0.0, validity, 0)
@@ -163,28 +172,18 @@ def bilinear_reproject(reproj: Reprojection, values: jnp.ndarray) -> jnp.ndarray
     """Validity-masked 4-tap bilinear fetch of per-pixel `values`
     [H, W, C] at reprojected coordinates (bilinear_filter.rs:28-107).
     Weights are the validity bits; returns zeros where no valid tap."""
-    h, w = values.shape[0], values.shape[1]
     px, py = reproj.prev_x, reproj.prev_y
-    fx = jnp.floor(px)
-    fy = jnp.floor(py)
-    ux = px - fx
-    uy = py - fy
-
-    flat, specs = gather.pack_screen(values)
+    corner_taps, fy, fx = gather.take_bilinear((values,), py, px)
+    ux = px - fx.astype(jnp.float32)
+    uy = py - fy.astype(jnp.float32)
 
     taps = []
     weights = []
-    coords = (
-        (fx, fy, (1 - ux) * (1 - uy), 0),
-        (jnp.ceil(px), fy, ux * (1 - uy), 1),
-        (fx, jnp.ceil(py), (1 - ux) * uy, 2),
-        (jnp.ceil(px), jnp.ceil(py), ux * uy, 3),
+    corner_w = (
+        (1 - ux) * (1 - uy), ux * (1 - uy), (1 - ux) * uy, ux * uy,
     )
-    for tx, ty, wgt, bit in coords:
-        xi = jnp.clip(tx.astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(ty.astype(jnp.int32), 0, h - 1)
+    for bit, (wgt, (tap,)) in enumerate(zip(corner_w, corner_taps)):
         valid = ((reproj.validity >> bit) & 1) > 0
-        (tap,) = gather.take_screen(flat, specs, yi, xi)
         taps.append(tap)
         weights.append(jnp.where(valid, wgt, 0.0))
 
