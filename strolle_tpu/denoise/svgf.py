@@ -121,6 +121,7 @@ def temporal_reproject(
     reproj: Reprojection,
     state: DenoiserState,
     history_clamp: float = HISTORY_CLAMP,
+    prev_fetched: jnp.ndarray | None = None,  # prefetched [H,W,6]
 ):
     """Returns (color [H,W,3], moments [H,W,3])."""
     sky = ~surf.is_some
@@ -128,10 +129,15 @@ def temporal_reproject(
     sample_luma = vm.luma(sample_rgb)
 
     # one bilinear fetch for color + moments (the take cost is flat in
-    # the channel count, ops/gather.py)
-    prev = bilinear_reproject(
-        reproj,
-        jnp.concatenate([state.prev_color, state.prev_moments], axis=-1),
+    # the channel count, ops/gather.py); denoise_pair prefetches both
+    # channels' state in a single take
+    prev = (
+        bilinear_reproject(
+            reproj,
+            jnp.concatenate([state.prev_color, state.prev_moments], axis=-1),
+        )
+        if prev_fetched is None
+        else prev_fetched
     )
     prev_color, prev_moments = prev[..., :3], prev[..., 3:]
 
@@ -361,6 +367,33 @@ def _wavelet(color, var, surf, stride, strength, jitter_yx, sigma_ab):
     )
 
 
+def denoise_pair(
+    di_samples, gi_samples, surf, reproj, di_state, gi_state, frame,
+    tuning=None,
+):
+    """SVGF on the DI-diffuse + GI-diffuse channels with ONE shared
+    bilinear history fetch (both channels reproject at the same
+    coordinates and the take cost is flat in the channel count).
+    Returns (di_rgb, di_state'), (gi_rgb, gi_state')."""
+    prev = bilinear_reproject(
+        reproj,
+        jnp.concatenate(
+            [di_state.prev_color, di_state.prev_moments,
+             gi_state.prev_color, gi_state.prev_moments],
+            axis=-1,
+        ),
+    )
+    di = denoise_channel(
+        di_samples, surf, reproj, di_state, frame, kind="di", tuning=tuning,
+        prev_fetched=prev[..., 0:6],
+    )
+    gi = denoise_channel(
+        gi_samples, surf, reproj, gi_state, frame, kind="gi", tuning=tuning,
+        prev_fetched=prev[..., 6:12],
+    )
+    return di, gi
+
+
 def denoise_channel(
     samples: jnp.ndarray,  # f32[H, W, 4] rgb + confidence
     surf: Surface,
@@ -369,13 +402,15 @@ def denoise_channel(
     frame,
     kind: str = "di",
     tuning=None,
+    prev_fetched=None,
 ):
     """Full SVGF chain for one channel. Returns (rgb, new state)."""
     from ..config import DEFAULT_TUNING
 
     tuning = tuning or DEFAULT_TUNING
     color, moments = temporal_reproject(
-        samples, surf, reproj, state, tuning.svgf_history_clamp
+        samples, surf, reproj, state, tuning.svgf_history_clamp,
+        prev_fetched=prev_fetched,
     )
     var = estimate_variance(color, moments, surf,
                             tuning.svgf_variance_min_history)

@@ -107,7 +107,7 @@ def sample_pixels(
             if luts is not None:
                 from ..sky.atmosphere import sample_atmosphere
 
-                sky = sample_atmosphere(luts, jnp.broadcast_to(sun, d.shape), d)
+                sky = sample_atmosphere(luts, sun, d)
             else:
                 sky = sample_sky(sun, d)
             color = jnp.where(missed[..., None], color + throughput * sky, color)

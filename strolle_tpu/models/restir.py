@@ -214,20 +214,28 @@ def render_frame(
     # README.md:40) -----------------------------------------------------
     di_den = state.di_diff_denoiser
     gi_den = state.gi_diff_denoiser
-    if config.denoise and config.needs_di:
-        di_diff_rgb, di_den = _stage_denoise(
-            di_diff, surf, reproj, state.di_diff_denoiser, frame, "di",
-            config.tuning,
+    if config.denoise and config.needs_di and config.needs_gi:
+        # both channels denoise in one program with a shared history
+        # fetch (denoise.svgf.denoise_pair)
+        (di_diff_rgb, di_den), (gi_diff_rgb, gi_den) = _stage_denoise_pair(
+            di_diff, gi_diff, surf, reproj, state.di_diff_denoiser,
+            state.gi_diff_denoiser, frame, config.tuning,
         )
     else:
-        di_diff_rgb = di_diff[..., :3]
-    if config.denoise and config.needs_gi:
-        gi_diff_rgb, gi_den = _stage_denoise(
-            gi_diff, surf, reproj, state.gi_diff_denoiser, frame, "gi",
-            config.tuning,
-        )
-    else:
-        gi_diff_rgb = gi_diff[..., :3]
+        if config.denoise and config.needs_di:
+            di_diff_rgb, di_den = _stage_denoise(
+                di_diff, surf, reproj, state.di_diff_denoiser, frame, "di",
+                config.tuning,
+            )
+        else:
+            di_diff_rgb = di_diff[..., :3]
+        if config.denoise and config.needs_gi:
+            gi_diff_rgb, gi_den = _stage_denoise(
+                gi_diff, surf, reproj, state.gi_diff_denoiser, frame, "gi",
+                config.tuning,
+            )
+        else:
+            gi_diff_rgb = gi_diff[..., :3]
 
     channels = _stage_compose(surf, di_diff_rgb, gi_diff_rgb, di_spec, gi_spec)
 
@@ -264,9 +272,7 @@ def _stage_prelude(
         if luts is not None:
             from ..sky.atmosphere import sample_atmosphere
 
-            sky = sample_atmosphere(
-                luts, jnp.broadcast_to(sun, prim_d.shape), prim_d
-            )
+            sky = sample_atmosphere(luts, sun, prim_d)
         else:
             sky = sample_sky(sun, prim_d)
     else:
@@ -320,6 +326,38 @@ def _stage_denoise(samples, surf, reproj, den_state, frame, kind,
     return denoise_channel(
         samples, surf, reproj, den_state, frame, kind=kind, tuning=tuning
     )
+
+
+@partial(jax.jit, static_argnames=("tuning",))
+def _stage_denoise_pair(di_samples, gi_samples, surf, reproj, di_state,
+                        gi_state, frame, tuning=DEFAULT_TUNING):
+    from ..denoise.svgf import denoise_pair
+
+    return denoise_pair(
+        di_samples, gi_samples, surf, reproj, di_state, gi_state, frame,
+        tuning=tuning,
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def render_frame_fused(
+    scene, camera, state, seed, config=RenderConfig(), luts=None, mesh=None
+):
+    """`render_frame` compiled as ONE program.
+
+    The per-stage dispatch split exists for incremental compilation and
+    profiling; on the tunneled TPU runtime each extra dispatch costs
+    ~7 ms of enqueue overhead, so the production frame loop should use
+    this fused entry (measured round 5: 170 -> 130 ms/frame on Cornell
+    before the other fixes landed). First compile is slow (minutes) but
+    lands in the persistent compilation cache.
+
+    ``luts`` must be passed explicitly when the sky/GI is active —
+    inside jit the sun altitude is a tracer, so the host-side LUT cache
+    in render_frame cannot key on it (it would fall back to inlining
+    the analytic sky march; see render_frame's docstring).
+    """
+    return render_frame(scene, camera, state, seed, config, luts, mesh)
 
 
 @jax.jit

@@ -89,7 +89,9 @@ def di_sampling(
     eph = rsv.DiReservoirs.empty(shape)
     eph_pdf = jnp.zeros(shape, jnp.float32)
 
-    for nth in range(tuning.di_candidates):
+    # candidates beyond the light-buffer capacity are statically dead
+    # (max_samples <= capacity), so don't trace them
+    for nth in range(min(tuning.di_candidates, scene.lights.capacity)):
         state, word = rng.next_u32(state)
         light_id = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(
             jnp.int32
@@ -239,7 +241,14 @@ def di_spatial(
     similar neighbor in <= 8 tries (radius 128 px halving to >= 5 on
     rejection, depth within 33%, normal dot >= 0.33), trace both
     cross-visibility rays, merge with visibility-weighted MIS. The
-    non-active checkerboard half passes through unchanged."""
+    non-active checkerboard half passes through unchanged.
+
+    Neighbor probing uses the shared-offset reformulation
+    (ops/offsets.py): per try, each pixel picks a fresh shared disk
+    offset at its adaptive radius level, so the gate fetches are
+    shifted selects instead of per-pixel gathers."""
+    from ..ops import offsets as shoff
+
     h, w = surf.depth.shape
     xs, ys = screen_xy(camera)
     state = rng.wnoise_new(seed, xs, ys)
@@ -251,29 +260,32 @@ def di_spatial(
     done = jnp.zeros(shape, bool)
     rhs_x = jnp.zeros(shape, jnp.int32)
     rhs_y = jnp.zeros(shape, jnp.int32)
-    radius = jnp.full(shape, tuning.di_spatial_radius, jnp.float32)
 
-    xs_f = xs.astype(jnp.float32)
-    ys_f = ys.astype(jnp.float32)
-    gates, gate_specs = gather.pack_screen(
-        surf.depth, surf.normal, surf.is_some, res.m
+    radii = shoff.radius_levels(tuning.di_spatial_radius)
+    n_lvls = len(radii)
+    n_var = 2
+    margin = shoff.probe_margin(tuning.di_spatial_radius, h, w)
+    probe = shoff.SharedOffsetTaps(
+        (surf.depth, surf.normal, surf.is_some, res.m), margin=margin
     )
-    for _ in range(tuning.di_spatial_samples):
-        state, disk = rng.sample_disk(state)
-        cx, cy = contain_xy(
-            camera,
-            (xs_f + disk[..., 0] * radius).astype(jnp.int32),
-            (ys_f + disk[..., 1] * radius).astype(jnp.int32),
+    level = jnp.zeros(shape, jnp.int32)
+    seed = jnp.asarray(seed, jnp.uint32)
+    for nth in range(tuning.di_spatial_samples):
+        dy, dx = shoff.draw_offset_table(
+            seed ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
+            radii, n_var, margin=margin,
         )
+        state, word = rng.next_u32(state)
+        sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
+        c_depth, c_normal, c_some, c_m = probe.take(dy, dx, sel)
+        oy, ox = probe.offset_of(dy, dx, sel)
+        cx, cy = contain_xy(camera, xs + ox, ys + oy)
         same = (cx == xs) & (cy == ys)
-        c_depth, c_normal, c_some, c_m = gather.take_screen(
-            gates, gate_specs, cy, cx
-        )
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.33
         gate_fail = ~c_some | depth_bad | normal_bad
         shrink = ~done & ~same & gate_fail
-        radius = jnp.where(shrink, jnp.maximum(radius * 0.5, 5.0), radius)
+        level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
         accept = ~done & ~same & ~gate_fail & (c_m > 0.0)
         rhs_x = jnp.where(accept, cx, rhs_x)
         rhs_y = jnp.where(accept, cy, rhs_y)

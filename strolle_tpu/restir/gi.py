@@ -241,28 +241,37 @@ def gi_coverage(xs, ys, frame):
 
 
 def gi_reproject(
-    camera: Camera, surf: Surface, reproj: Reprojection, gi_prev: GiReservoirs
-) -> GiReservoirs:
+    camera: Camera, surf: Surface, reproj: Reprojection,
+    gi_prev: GiReservoirs, prev_surf: Surface | None = None,
+):
     """gi_reprojection.rs: gather the previous reservoir at the
-    reprojected position; confidence := 1, v1 := current hit point."""
+    reprojected position; confidence := 1, v1 := current hit point.
+
+    When ``prev_surf`` is given it rides the same row-batched take (the
+    temporal pass needs the prev-frame surface at the SAME index, and
+    the take cost is flat in the field count — ops/gather.py); returns
+    (rep, reprojected prev_surf or None)."""
     shape = surf.depth.shape
     rpx, rpy = reproj.prev_xy_round
     rx = jnp.clip(rpx, 0, camera.width - 1)
     ry = jnp.clip(rpy, 0, camera.height - 1)
-    rep = gi_prev.gather(ry, rx)
+    if prev_surf is not None:
+        rep, rhs_surf = gather.gather_tree((gi_prev, prev_surf), ry, rx)
+    else:
+        rep, rhs_surf = gi_prev.gather(ry, rx), None
     rep = select(reproj.is_some, rep, GiReservoirs.empty(shape))
     rep = rep.replace(
         confidence=jnp.ones(shape, jnp.float32),
         v1_point=surf.point,
     )
-    return select(surf.is_some, rep, GiReservoirs.empty(shape))
+    return select(surf.is_some, rep, GiReservoirs.empty(shape)), rhs_surf
 
 
 def _sky(luts, sun, d):
     if luts is not None:
         from ..sky.atmosphere import sample_atmosphere
 
-        return sample_atmosphere(luts, jnp.broadcast_to(sun, d.shape), d)
+        return sample_atmosphere(luts, sun, d)
     return sample_sky(sun, d)
 
 
@@ -338,7 +347,8 @@ def gi_sampling(
     eph_spec = jnp.zeros(shape + (3,), jnp.float32)
     max_samples = jnp.minimum(lcount, tuning.di_candidates)
     ipdf = lcount.astype(jnp.float32)
-    for nth in range(tuning.di_candidates):
+    # statically dead beyond capacity (see di_sampling)
+    for nth in range(min(tuning.di_candidates, scene.lights.capacity)):
         eph_state, word = rng.next_u32(eph_state)
         lid = (word % jnp.maximum(lcount, 1).astype(jnp.uint32)).astype(jnp.int32)
         lg = gather_light(scene.lights, lid)
@@ -439,6 +449,7 @@ def gi_temporal(
     seed,
     frame,
     tuning: Tuning = DEFAULT_TUNING,
+    rhs_surf: Surface | None = None,
 ) -> GiReservoirs:
     """gi_temporal_resampling.rs: MIS merge on tracing frames;
     merge-only + sample validation on validation frames."""
@@ -476,10 +487,12 @@ def gi_temporal(
     )
 
     # prev-frame surface at the reprojected position, for cross-pdfs
-    rpx, rpy = reproj.prev_xy_round
-    rx = jnp.clip(rpx, 0, camera.width - 1)
-    ry = jnp.clip(rpy, 0, camera.height - 1)
-    rhs_surf = gather.gather_tree(prev_surf, ry, rx)
+    # (prefetched by gi_reproject's shared take when available)
+    if rhs_surf is None:
+        rpx, rpy = reproj.prev_xy_round
+        rx = jnp.clip(rpx, 0, camera.width - 1)
+        ry = jnp.clip(rpy, 0, camera.height - 1)
+        rhs_surf = gather.gather_tree(prev_surf, ry, rx)
 
     # --- tracing path: pairwise MIS -----------------------------------
     lhs_rhs_pdf = jnp.where(
@@ -546,31 +559,40 @@ def gi_spatial(
     rhs_x = jnp.zeros(shape, jnp.int32)
     rhs_y = jnp.zeros(shape, jnp.int32)
     rhs_jac = jnp.zeros(shape, jnp.float32)
-    radius = jnp.full(shape, tuning.gi_spatial_radius, jnp.float32)
 
-    xs_f = xs.astype(jnp.float32)
-    ys_f = ys.astype(jnp.float32)
-    # pack the per-candidate fetches once; take flat per try
-    gates, gate_specs = gather.pack_screen(
-        surf.depth, surf.normal, surf.is_some,
-        res.m, res.v1_point, res.v2_point, res.v2_normal,
+    # shared-offset probing (ops/offsets.py; see di_spatial)
+    from ..ops import offsets as shoff
+
+    h, w = shape
+    radii = shoff.radius_levels(tuning.gi_spatial_radius)
+    n_lvls = len(radii)
+    n_var = 2
+    margin = shoff.probe_margin(tuning.gi_spatial_radius, h, w)
+    probe = shoff.SharedOffsetTaps(
+        (surf.depth, surf.normal, surf.is_some,
+         res.m, res.v1_point, res.v2_point, res.v2_normal),
+        margin=margin,
     )
-    for _ in range(tuning.gi_spatial_samples):
-        state, disk = rng.sample_disk(state)
-        cx, cy = contain_xy(
-            camera,
-            (xs_f + disk[..., 0] * radius).astype(jnp.int32),
-            (ys_f + disk[..., 1] * radius).astype(jnp.int32),
+    level = jnp.zeros(shape, jnp.int32)
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    for nth in range(tuning.gi_spatial_samples):
+        dy, dx = shoff.draw_offset_table(
+            seed_u ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
+            radii, n_var, margin=margin,
         )
+        state, word = rng.next_u32(state)
+        sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
+        c_depth, c_normal, c_some, c_m, c_v1, c_v2, c_v2n = probe.take(
+            dy, dx, sel
+        )
+        oy, ox = probe.offset_of(dy, dx, sel)
+        cx, cy = contain_xy(camera, xs + ox, ys + oy)
         same = (cx == xs) & (cy == ys)
-        c_depth, c_normal, c_some, c_m, c_v1, c_v2, c_v2n = gather.take_screen(
-            gates, gate_specs, cy, cx
-        )
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.33
         gate_fail = ~c_some | depth_bad | normal_bad
         shrink = ~done & ~same & gate_fail
-        radius = jnp.where(shrink, jnp.maximum(radius * 0.5, 5.0), radius)
+        level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
 
         cand_geom = GiReservoirs.empty(shape).replace(
             m=c_m, v1_point=c_v1, v2_point=c_v2, v2_normal=c_v2n
@@ -663,29 +685,34 @@ def gi_preview(
         8.0 * (1.0 - jnp.clip(main.m / 8.0, 0.0, 1.0))
     ).astype(jnp.int32)
 
-    xs_f = xs.astype(jnp.float32)
-    ys_f = ys.astype(jnp.float32)
-    # gates + the full candidate tree share ONE packed matrix so each
-    # try costs a single row-batched take (ops/gather.py)
+    # shared-offset probing (ops/offsets.py): gates + the full candidate
+    # tree ride one mirror-padded field stack; each try is a 4-way
+    # shifted select instead of a per-pixel gather
+    from ..ops import offsets as shoff
+
+    h, w = shape
+    n_var = 4
+    margin = shoff.probe_margin(max_radius, h, w)
     nb_leaves, nb_treedef = jax.tree.flatten(neighbors)
-    flat, flat_specs = gather.pack_screen(
-        surf.depth, surf.normal, surf.is_some, *nb_leaves
+    probe = shoff.SharedOffsetTaps(
+        (surf.depth, surf.normal, surf.is_some, *nb_leaves), margin=margin
     )
+    seed_u = jnp.asarray(seed, jnp.uint32)
 
     stopped = jnp.zeros(shape, bool)
     for nth in range(8):
-        state, disk = rng.sample_disk(state)
-        cx, cy = contain_xy(
-            camera,
-            (xs_f + disk[..., 0] * max_radius).astype(jnp.int32),
-            (ys_f + disk[..., 1] * max_radius).astype(jnp.int32),
+        dy, dx = shoff.draw_offset_table(
+            seed_u ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
+            (max_radius,), n_var, margin=margin,
         )
+        state, word = rng.next_u32(state)
+        sel = (word % jnp.uint32(n_var)).astype(jnp.int32)
+        c_depth, c_normal, c_some, *c_nb = probe.take(dy, dx, sel)
+        oy, ox = probe.offset_of(dy, dx, sel)
+        cx, cy = contain_xy(camera, xs + ox, ys + oy)
         same = (cx == xs) & (cy == ys)
         stopped = stopped | same  # reference bails out entirely here
         in_budget = nth < max_samples
-        c_depth, c_normal, c_some, *c_nb = gather.take_screen(
-            flat, flat_specs, cy, cx
-        )
         c_sky = ~c_some
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.25 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.5
@@ -764,33 +791,37 @@ def gi_pipeline(
     tracing = is_gi_tracing(frame)
     frame_i = jnp.asarray(frame, jnp.int32)
 
-    rep = gi_reproject(camera, surf, reproj, gi_prev)
+    rep, rep_surf = gi_reproject(camera, surf, reproj, gi_prev, prev_surf)
 
-    # sampling runs on even tracing frames and on all validation frames;
-    # we compute it unconditionally (lanes gate themselves via coverage)
-    # except the even/odd tracing skip, handled by zeroing the candidate.
-    cand = gi_sampling(
-        scene, camera, surf, rep, derive_seed(seed, 10), derive_seed(seed, 11),
-        frame, luts, use_pallas, tuning,
-    )
+    # sampling runs on even tracing frames and on all validation frames
+    # (gi_sampling.rs schedule); odd tracing frames skip it entirely.
+    # The skip is a lax.cond on the scalar schedule so the skipped
+    # frames pay nothing — the reference's host frame graph simply does
+    # not dispatch the pass (camera_controller.rs:134-161).
     skip_sampling = tracing & ((frame_i % 2) == 1)
-    cand = select(
-        ~skip_sampling & jnp.ones(cand.m.shape, bool),
-        cand,
-        GiReservoirs.empty(cand.m.shape),
+    cand = jax.lax.cond(
+        skip_sampling,
+        lambda: GiReservoirs.empty(surf.depth.shape),
+        lambda: gi_sampling(
+            scene, camera, surf, rep, derive_seed(seed, 10),
+            derive_seed(seed, 11), frame, luts, use_pallas, tuning,
+        ),
     )
 
     t = gi_temporal(
         scene, camera, surf, prev_surf, reproj, cand, rep,
-        derive_seed(seed, 12), frame, tuning,
+        derive_seed(seed, 12), frame, tuning, rhs_surf=rep_surf,
     )
 
     # odd tracing frames run the spatial pass; source = spatial|temporal
-    s = gi_spatial(
-        scene, camera, surf, t, derive_seed(seed, 13), frame, tuning
-    )
     use_spatial = tracing & ((frame_i % 2) == 1)
-    source = select(use_spatial & jnp.ones(t.m.shape, bool), s, t)
+    source = jax.lax.cond(
+        use_spatial,
+        lambda: gi_spatial(
+            scene, camera, surf, t, derive_seed(seed, 13), frame, tuning
+        ),
+        lambda: t,
+    )
 
     p1 = gi_preview(
         scene, camera, surf, source, source, derive_seed(seed, 14),

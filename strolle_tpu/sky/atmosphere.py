@@ -207,20 +207,29 @@ class AtmosphereLuts:
 
 
 def _bilinear(lut: jnp.ndarray, u, v):
-    """Clamped bilinear fetch at normalized uv (texel centers)."""
+    """Clamped bilinear fetch at normalized uv (texel centers).
+
+    ONE row-batched take of the LUT packed with its x+1 / y+1 / x+1,y+1
+    clamp-shifted variants (12 channels), indexed at the floor corner:
+    a per-corner 2-D advanced-indexing fetch costs ~5 ms each at 800x608
+    while one multi-channel take costs ~5 ms total (ops/gather.py)."""
     h, w = lut.shape[0], lut.shape[1]
+    sx = jnp.concatenate([lut[:, 1:], lut[:, -1:]], axis=1)
+    sy = jnp.concatenate([lut[1:], lut[-1:]], axis=0)
+    sxy = jnp.concatenate([sy[:, 1:], sy[:, -1:]], axis=1)
+    mat = jnp.concatenate([lut, sx, sy, sxy], axis=-1).reshape(h * w, -1)
+    c = lut.shape[-1]
+
     x = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
     y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    c00 = lut[y0, x0]
-    c10 = lut[y0, x1]
-    c01 = lut[y1, x0]
-    c11 = lut[y1, x1]
+    g = jnp.take(mat, (y0 * w + x0).reshape(-1), axis=0, mode="clip").reshape(
+        x0.shape + (4 * c,)
+    )
+    c00, c10, c01, c11 = (g[..., i * c : (i + 1) * c] for i in range(4))
     return (
         c00 * (1 - fx) * (1 - fy)
         + c10 * fx * (1 - fy)
@@ -567,7 +576,10 @@ def sample_atmosphere(luts: AtmosphereLuts, sun_dir, ray_dir):
     hits_ground = ~jnp.isinf(
         ray_sphere(pos, ray_dir, jnp.zeros(3, jnp.float32), GROUND_RADIUS_MM)
     )
-    trans = sample_lut_at(luts.transmittance, pos, sun_dir)
+    # the view position is the fixed VIEW_POS, so the transmittance
+    # fetch depends only on sun_dir: evaluate at sun_dir's own shape
+    # (pass a 1-D sun to make this a scalar fetch, not a per-pixel one)
+    trans = sample_lut_at(luts.transmittance, VIEW_POS, sun_dir)
     sun_contrib = jnp.where(
         (hits_ground | (sun_lum <= 0.0))[..., None],
         0.0,
