@@ -136,7 +136,14 @@ def bench_reference(scene, camera, depth=DEPTH, frames=FRAMES,
     long = [run(n_long, 100 + i) for i in range(TRIALS)]
     med_s, _ = _median_spread(short)
     med_l, spread = _median_spread(long)
-    per_frame = max(med_l - med_s, 1e-9) / (n_long - n_short)
+    if med_l <= 1.1 * med_s:
+        # advisor r4: a silent clamp here let an elided dispatch chain
+        # print an absurd Mrays/s instead of failing loudly
+        raise RuntimeError(
+            f"bench_reference: long chain {med_l*1e3:.1f} ms not > short "
+            f"{med_s*1e3:.1f} ms * 1.1 — dispatch elision suspected"
+        )
+    per_frame = (med_l - med_s) / (n_long - n_short)
     ms = per_frame * 1e3
     mrays = rays_per_frame(camera.width, camera.height, depth) / per_frame / 1e6
     return mrays, ms, spread
@@ -144,30 +151,51 @@ def bench_reference(scene, camera, depth=DEPTH, frames=FRAMES,
 
 def bench_realtime(scene, camera, frames=3, include_sky=False, luts=None,
                    trials=2):
-    """True per-frame cost of the realtime pipeline: chained frames
-    with the final image MATERIALIZED (np.asarray) each trial. The
-    pipeline runs as per-stage jit programs, so frames cannot chain
-    inside one jit; the d2h fetch at the end is what forces the whole
-    chain to actually execute (see module docstring)."""
-    from strolle_tpu.models.restir import RenderConfig, init_state, render_frame
+    """True per-frame cost of the realtime pipeline: the production
+    FUSED frame program (render_frame_fused, one dispatch per frame),
+    frames chained from the host with the final image MATERIALIZED
+    (np.asarray) per trial — the d2h fetch forces the chain to actually
+    execute (module docstring). Per-frame cost is the marginal between
+    two chain lengths, which cancels the host sync round-trip
+    (advisor r4 finding on the old total/frames estimate)."""
+    from strolle_tpu.models.restir import (
+        RenderConfig, init_state, render_frame_fused,
+    )
+    from strolle_tpu.sky.atmosphere import luts_for
 
+    if luts is None:
+        luts = luts_for(float(scene.sun_altitude))
     cfg = RenderConfig(include_sky=include_sky)
-    state = init_state(camera)
-    ch, state = render_frame(scene, camera, state, jnp.uint32(0), cfg, luts=luts)
-    np.asarray(ch["image"])  # compile + force real execution mode
-    times = []
-    f = 0
-    for trial in range(trials):
+    state0 = init_state(camera)
+
+    def chain(n, f0):
+        f = f0
+        state = state0
         t0 = time.perf_counter()
-        for _ in range(frames):
+        for _ in range(n):
             f += 1
-            ch, state = render_frame(
-                scene, camera, state, jnp.uint32(f), cfg, luts=luts
+            ch, state = render_frame_fused(
+                scene, camera, state, jnp.uint32(f), cfg, luts
             )
         np.asarray(ch["image"])
-        times.append(time.perf_counter() - t0)
-    best, spread = _median_spread(times)
-    return best / frames * 1e3, spread
+        return time.perf_counter() - t0
+
+    n_short, n_long = frames, 3 * frames
+    chain(1, 0)  # compile + force real execution mode
+    chain(n_long, 1000)
+    short = [chain(n_short, 2000 + 100 * i) for i in range(trials)]
+    long = [chain(n_long, 5000 + 100 * i) for i in range(trials)]
+    med_s, _ = _median_spread(short)
+    med_l, spread = _median_spread(long)
+    if med_l <= 1.1 * med_s:
+        # the long chain must cost measurably more than the short one;
+        # anything else means the runtime elided work again (the exact
+        # artifact the materialized protocol exists to catch)
+        raise RuntimeError(
+            f"bench_realtime: long chain {med_l*1e3:.1f} ms not > short "
+            f"{med_s*1e3:.1f} ms * 1.1 — dispatch elision suspected"
+        )
+    return (med_l - med_s) / (n_long - n_short) * 1e3, spread
 
 
 def profile_realtime_stages(scene, camera, luts):
@@ -340,7 +368,12 @@ def bench_big_scene(scene, o, d, floor_ms=0.0):
         float(fn(scene, jits[i], d))
         times.append(time.perf_counter() - t0)
     med, spread = _median_spread(times)
-    med = max(med - floor_ms * 1e-3, 1e-9)
+    if med <= floor_ms * 1e-3:
+        raise RuntimeError(
+            f"bench_big_scene: measured {med*1e3:.2f} ms under the "
+            f"{floor_ms:.1f} ms sync floor — dispatch elision suspected"
+        )
+    med = med - floor_ms * 1e-3
     return o.shape[0] * o.shape[1] / med / 1e6, med * 1e3, spread
 
 

@@ -52,7 +52,12 @@ def main() -> None:
         float(chain(scene, jnp.uint32(100 + block), 4 * REPS))
         long.append(time.perf_counter() - t0)
     # marginal cost cancels the host sync round-trip
-    per = (statistics.median(long) - statistics.median(short)) / (3 * REPS)
+    med_s, med_l = statistics.median(short), statistics.median(long)
+    assert med_l > 1.1 * med_s, (
+        f"long chain {med_l*1e3:.1f} ms not > short {med_s*1e3:.1f} ms * 1.1 "
+        "— dispatch elision suspected (advisor r4)"
+    )
+    per = (med_l - med_s) / (3 * REPS)
 
     rays = WIDTH * HEIGHT * (DEPTH + 1) * 2
     print(f"{per * 1e3:.2f} ms/sample  {rays / per / 1e6:.1f} Mrays/s")

@@ -64,15 +64,39 @@ def surface_at(
 
     ``regularize`` clamps roughness for indirect bounces
     (material.rs:24-27: roughness = max(roughness, 0.5625)).
+
+    All per-triangle attributes come from ONE row-batched take of a
+    [T, 25] geometry matrix (a per-field fancy-indexing gather costs
+    ~5 ms each at 800x608, ops/gather.py); material fields ride a
+    one-hot matmul over the material table, and atlas samples are
+    statically skipped for never-textured channels
+    (Materials.tex_channels).
     """
+    from .gather import gather_rows
+
     geom = scene.geometry
     mats = scene.materials
     tri = jnp.maximum(hit.tri, 0)
 
-    p = geom.positions[tri]  # [..., 3, 3]
-    n = geom.normals[tri]
-    uvs = geom.uvs[tri]
-    mat_id = geom.material_id[tri]
+    t_count = geom.num_triangles
+    gtable = jnp.concatenate(
+        [
+            jnp.asarray(geom.positions).reshape(t_count, 9),
+            jnp.asarray(geom.normals).reshape(t_count, 9),
+            jnp.asarray(geom.uvs).reshape(t_count, 6),
+            jnp.asarray(geom.material_id)
+            .astype(jnp.float32)
+            .reshape(t_count, 1),
+        ],
+        axis=-1,
+    )
+    g = jnp.take(gtable, tri.reshape(-1), axis=0, mode="clip").reshape(
+        tri.shape + (25,)
+    )
+    p = g[..., 0:9].reshape(tri.shape + (3, 3))
+    n = g[..., 9:18].reshape(tri.shape + (3, 3))
+    uvs = g[..., 18:24].reshape(tri.shape + (3, 2))
+    mat_id = g[..., 24].astype(jnp.int32)
 
     u = hit.u[..., None]
     v = hit.v[..., None]
@@ -87,24 +111,40 @@ def surface_at(
 
     uv = w * uvs[..., 0, :] + u * uvs[..., 1, :] + v * uvs[..., 2, :]
 
+    mtable = jnp.concatenate(
+        [
+            jnp.asarray(mats.base_color),
+            jnp.asarray(mats.base_color_tex),
+            jnp.asarray(mats.emissive)[..., :4],
+            jnp.asarray(mats.emissive_tex),
+            jnp.asarray(mats.roughness)[:, None],
+            jnp.asarray(mats.metallic)[:, None],
+            jnp.asarray(mats.reflectance)[:, None],
+            jnp.asarray(mats.metallic_roughness_tex),
+        ],
+        axis=-1,
+    )
+    mrows = gather_rows(mtable, mat_id)
+    tex_base, tex_emis, tex_mr = mats.tex_channels
+
     base_color = sample_material_channel(
-        scene, mats.base_color[mat_id], mats.base_color_tex[mat_id], uv
+        scene, mrows[..., 0:4], mrows[..., 4:8], uv, enabled=tex_base
     )
     emissive = sample_material_channel(
-        scene, mats.emissive[mat_id], mats.emissive_tex[mat_id], uv
+        scene, mrows[..., 8:12], mrows[..., 12:16], uv, enabled=tex_emis
     )[..., :3]
 
     # metallic-roughness texture (material.rs:44-58): multiplier vector
     # is [1, roughness, metallic, 1]; texel G scales roughness, B scales
     # metallic (glTF layout), .zy() -> (metallic, roughness).
-    rough_f = mats.roughness[mat_id]
-    metal_f = mats.metallic[mat_id]
+    rough_f = mrows[..., 16]
+    metal_f = mrows[..., 17]
     mr_mult = jnp.stack(
         [jnp.ones_like(rough_f), rough_f, metal_f, jnp.ones_like(rough_f)],
         axis=-1,
     )
     mr = sample_material_channel(
-        scene, mr_mult, mats.metallic_roughness_tex[mat_id], uv
+        scene, mr_mult, mrows[..., 19:23], uv, enabled=tex_mr
     )
     roughness = mr[..., 1]
     metallic = mr[..., 2]
@@ -128,7 +168,7 @@ def surface_at(
         emissive=z(emissive),
         metallic=z(metallic),
         roughness=z(roughness),
-        reflectance=z(mats.reflectance[mat_id]),
+        reflectance=z(mrows[..., 18]),
         depth=jnp.where(some, hit.t, 0.0),
         is_some=some,
     )

@@ -308,7 +308,9 @@ def _stream_surface_kernel(
         # tiles walk their front-to-back sorted list. Clamped so the
         # pipelined prefetch of i+1 == n stays in range.
         kk = jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
-        return jnp.minimum(kk, k_total - 1)
+        # max(.., 0) guards the k_total == 0 corner: the unconditional
+        # priming DMA would otherwise compute offset -1 (advisor r4)
+        return jnp.maximum(jnp.minimum(kk, k_total - 1), 0)
 
     def dma(slot, i):
         k = k_of(i)
@@ -442,7 +444,9 @@ def _stream_anyhit_kernel(
 
     def k_of(i):
         kk = jnp.where(overflow, i, idx_ref[g, jnp.minimum(i, lmax)])
-        return jnp.minimum(kk, k_total - 1)
+        # max(.., 0) guards the k_total == 0 corner: the unconditional
+        # priming DMA would otherwise compute offset -1 (advisor r4)
+        return jnp.maximum(jnp.minimum(kk, k_total - 1), 0)
 
     def dma(slot, i):
         k = k_of(i)

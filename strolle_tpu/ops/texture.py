@@ -21,8 +21,22 @@ def _wrap(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_atlas_bilinear(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear fetch from atlas image [A, A, 4] at normalized uv [..., 2]."""
+    """Bilinear fetch from atlas image [A, A, 4] at normalized uv [..., 2].
+
+    ONE row-batched take of the atlas packed with its clamp-shifted
+    x+1 / y+1 / x+1,y+1 variants (16 channels), indexed at the floor
+    corner — four per-corner 2-D indexing fetches cost ~5 ms EACH at
+    800x608 while one multi-channel take costs ~5 ms total
+    (ops/gather.py). The variant matrix is built from the same operand
+    every call, so XLA CSEs it across the per-channel samples of one
+    program.
+    """
     h, w = image.shape[0], image.shape[1]
+    sx = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    sy = jnp.concatenate([image[1:], image[-1:]], axis=0)
+    sxy = jnp.concatenate([sy[:, 1:], sy[:, -1:]], axis=1)
+    mat = jnp.concatenate([image, sx, sy, sxy], axis=-1).reshape(h * w, 16)
+
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x)
@@ -31,12 +45,10 @@ def sample_atlas_bilinear(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     fy = (y - y0)[..., None]
     x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    c00 = image[y0, x0]
-    c10 = image[y0, x1]
-    c01 = image[y1, x0]
-    c11 = image[y1, x1]
+    g = jnp.take(mat, (y0 * w + x0).reshape(-1), axis=0, mode="clip").reshape(
+        x0.shape + (16,)
+    )
+    c00, c10, c01, c11 = (g[..., i * 4 : (i + 1) * 4] for i in range(4))
     top = c00 * (1.0 - fx) + c10 * fx
     bot = c01 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy
@@ -47,9 +59,13 @@ def sample_material_channel(
     multiplier: jnp.ndarray,  # f32[..., 4]
     rect: jnp.ndarray,  # f32[..., 4]  atlas rect [x, y, w, h]
     uv: jnp.ndarray,  # f32[..., 2]
+    enabled: bool = True,
 ) -> jnp.ndarray:
-    """multiplier if rect == 0 else multiplier * atlas(rect.xy + wrap(uv)*rect.zw)."""
-    if scene.atlas is None:
+    """multiplier if rect == 0 else multiplier * atlas(rect.xy + wrap(uv)*rect.zw).
+
+    ``enabled=False`` (from Materials.tex_channels, static) skips the
+    atlas gather entirely for channels no material textures."""
+    if scene.atlas is None or not enabled:
         return multiplier
     textured = jnp.any(rect != 0.0, axis=-1, keepdims=True)
     wuv = _wrap(uv)

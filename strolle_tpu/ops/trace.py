@@ -101,13 +101,16 @@ def _interpret() -> bool:
     return os.environ.get("STROLLE_PALLAS_INTERPRET", "") == "1"
 
 _BRUTE_CHUNK = 128
-#: Scenes up to this many triangles use brute force by default.
-#: Measured on TPU v5e (xbench.py, 486k rays @800x608): the dense
-#: brute-force kernel beats packet-BVH traversal through 16k triangles
-#: on both coherent and incoherent rays (e.g. 16k coherent:
-#: 2.04 ms brute vs 3.30 ms BVH) — regular VPU compute outruns
-#: divergent traversal far past the GPU-intuition crossover.
-BRUTE_FORCE_MAX_TRIS = 16384
+#: Scenes up to this many triangles use the dense brute-force kernel.
+#: Measured on TPU v5e under the materialized-output protocol
+#: (xbench.py r5, 486k rays @800x608, ~25 ms per-call fixed cost
+#: common to all strategies): brute costs ~37 ms per 1k triangles
+#: (330 ms at 8k!) while the streaming cluster kernel costs ~4 ms per
+#: 1k on top of its tile machinery — the stream path wins from ~1k
+#: triangles up on both coherent and incoherent rays. (The round-4
+#: comment claiming brute won through 16k was measured under the
+#: discredited elided-dispatch protocol.)
+BRUTE_FORCE_MAX_TRIS = 1024
 
 #: The packet-BVH kernels hold the node + triangle arrays fully
 #: VMEM-resident; past this budget the Mosaic stack allocation
@@ -404,15 +407,16 @@ def trace_surface(
     tri_id = jnp.where(some, out["tri"], -1)
     uv = out["uv"]
 
+    tex_base, tex_emis, tex_mr = scene.materials.tex_channels
     mrows = gather_rows(_material_table(scene), mat_id)
     base_color = sample_material_channel(
-        scene, mrows[..., 0:4], mrows[..., 12:16], uv
+        scene, mrows[..., 0:4], mrows[..., 12:16], uv, enabled=tex_base
     )
     emissive4 = jnp.concatenate(
         [mrows[..., 4:7], jnp.ones_like(mrows[..., :1])], axis=-1
     )
     emissive = sample_material_channel(
-        scene, emissive4, mrows[..., 16:20], uv
+        scene, emissive4, mrows[..., 16:20], uv, enabled=tex_emis
     )[..., :3]
     # metallic-roughness texture (material.rs:44-58): texel G scales
     # roughness, B scales metallic.
@@ -422,7 +426,9 @@ def trace_surface(
         [jnp.ones_like(rough_f), rough_f, metal_f, jnp.ones_like(rough_f)],
         axis=-1,
     )
-    mr = sample_material_channel(scene, mr_mult, mrows[..., 20:24], uv)
+    mr = sample_material_channel(
+        scene, mr_mult, mrows[..., 20:24], uv, enabled=tex_mr
+    )
     roughness = mr[..., 1]
     metallic = mr[..., 2]
     if regularize:
@@ -511,24 +517,48 @@ _ALPHA_SKIP_EPS = 1e-3
 
 def _hit_alpha(scene: Scene, hit: TriangleHit) -> jnp.ndarray:
     """Sampled base-color alpha at a hit on an AlphaMode::Blend material;
-    1.0 for hits on opaque materials and for misses (ray.rs:212-229)."""
+    1.0 for hits on opaque materials and for misses (ray.rs:212-229).
+
+    One row-batched [T, 7] take (uvs + material id) plus a one-hot
+    material fetch — per-field fancy indexing costs ~5 ms per field at
+    800x608 (ops/gather.py) and this runs once per alpha restart."""
+    from .gather import gather_rows
     from .texture import sample_material_channel
 
     tri = jnp.maximum(hit.tri, 0)
-    # jnp.asarray: scene fields may be host numpy (see scene/build.py) and
-    # numpy can't be fancy-indexed by tracers inside the fori_loop body.
-    mat_id = jnp.asarray(scene.geometry.material_id)[tri]
-    blend = jnp.asarray(scene.materials.alpha_blend)[mat_id] != 0
-    uvs = jnp.asarray(scene.geometry.uvs)[tri]
+    geom = scene.geometry
+    t_count = geom.num_triangles
+    gtable = jnp.concatenate(
+        [
+            jnp.asarray(geom.uvs).reshape(t_count, 6),
+            jnp.asarray(geom.material_id).astype(jnp.float32).reshape(t_count, 1),
+        ],
+        axis=-1,
+    )
+    g = jnp.take(gtable, tri.reshape(-1), axis=0, mode="clip").reshape(
+        tri.shape + (7,)
+    )
+    uvs = g[..., 0:6].reshape(tri.shape + (3, 2))
+    mat_id = g[..., 6].astype(jnp.int32)
+
+    mtable = jnp.concatenate(
+        [
+            jnp.asarray(scene.materials.base_color),
+            jnp.asarray(scene.materials.base_color_tex),
+            jnp.asarray(scene.materials.alpha_blend).astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    mrows = gather_rows(mtable, mat_id)
+    blend = mrows[..., 8] != 0.0
+
     u = hit.u[..., None]
     v = hit.v[..., None]
     w = 1.0 - u - v
     uv = w * uvs[..., 0, :] + u * uvs[..., 1, :] + v * uvs[..., 2, :]
     base = sample_material_channel(
-        scene,
-        jnp.asarray(scene.materials.base_color)[mat_id],
-        jnp.asarray(scene.materials.base_color_tex)[mat_id],
-        uv,
+        scene, mrows[..., 0:4], mrows[..., 4:8], uv,
+        enabled=scene.materials.tex_channels[0],
     )
     return jnp.where(hit.is_some & blend, base[..., 3], 1.0)
 
