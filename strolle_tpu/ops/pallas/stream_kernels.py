@@ -81,17 +81,17 @@ from .cluster_kernels import (  # noqa: F401
 )
 from .trace_kernels import LANES, _moller_trumbore
 
-#: Ray tile = S_SUBLANES x 128 lanes. SMALL tiles (2048 rays = one
-#: 32x64 pixel block, see _blockify) are what make the per-tile cull +
-#: per-lane best-t pretest bite: the tile's ray-interval frustum is
-#: tight, so few clusters enter and few dense loops run. Measured on
-#: the 262k soup (486k coherent rays, fresh-input protocol): 64
-#: sublanes 369 ms, 8 -> 149 ms, 16 -> 120 ms, 32 -> 136 ms.
-S_SUBLANES = 16
+#: Ray tile = S_SUBLANES x 128 lanes. Small tiles make the per-tile
+#: cull + per-lane best-t pretest bite (tight ray-interval frustum ->
+#: few clusters enter); too small and the while-loop/DMA overhead per
+#: tile dominates. Swept on the 262k soup, 486k coherent rays,
+#: device-resident scene, floor-subtracted (sweep_stream.py r5):
+#: 8 sublanes -> 70 ms, 16 -> 33 ms, 32 -> 26 ms, 64 -> 32 ms.
+S_SUBLANES = 32
 S_TILE = S_SUBLANES * LANES
 
 #: Pixel block mapped to one ray tile (BLOCK_H * BLOCK_W == S_TILE).
-BLOCK_H = 32
+BLOCK_H = 64
 BLOCK_W = 64
 
 #: triangles per packed 128-float row

@@ -39,7 +39,7 @@ def soup_scene(n_tris: int, seed: int = 7):
         tangents=np.zeros((n_tris, 3, 4), np.float32),
         material_id=np.zeros(n_tris, np.int32),
     )
-    return Scene(
+    scene = Scene(
         geometry=geom,
         materials=make_materials([{}]),
         lights=make_lights([]),
@@ -48,6 +48,9 @@ def soup_scene(n_tris: int, seed: int = 7):
         sun_altitude=jnp.asarray(-1.0, jnp.float32),
         bvh=arrays,
     )
+    from strolle_tpu.bvh import build_clusters
+
+    return scene.replace(clusters=build_clusters(scene))
 
 
 def rays(w=800, h=608, coherent=True):
