@@ -159,9 +159,9 @@ def screen_xy(camera: Camera):
     """Integer pixel coordinates as two [H, W] arrays (x, y).
 
     Built with `broadcasted_iota`: composing a [H,1]/[1,W] arange
-    through broadcasting (or meshgrid) poisons downstream index math
-    with T(1,128)-tiled layouts on TPU — a gather whose index chain
-    contains one costs ~5 ms instead of ~0.05 ms at 800x608.
+    through broadcasting (or meshgrid) drags T(1,128)-tiled layouts
+    into downstream index math on TPU, adding relayout copies around
+    every consumer (gathers included).
     """
     shape = (camera.height, camera.width)
     ys = jax.lax.broadcasted_iota(jnp.int32, shape, 0)

@@ -22,9 +22,9 @@ from ..scene.types import Scene
 #: Gradient saturation point (bvh_heatmap.rs:46).
 HEATMAP_SCALE = 8192.0
 
-# numpy on purpose: module-level jnp arrays are device buffers, and
-# closure-capturing one inside a jitted program hangs/degrades the
-# process on the axon TPU runtime (see sky/atmosphere.py constants).
+# numpy on purpose: module-level jnp arrays are device buffers the
+# jitted program would have to closure-capture (first-dispatch penalty
+# on the axon runtime; see sky/atmosphere.py constants).
 _STOPS = np.asarray(
     [
         [0.0, 0.0, 1.0],

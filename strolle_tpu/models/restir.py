@@ -146,20 +146,21 @@ def render_frame(
     reference's LUT regeneration policy (passes/atmosphere.rs:76-112).
     Evaluating the atmosphere analytically per pixel instead is never
     acceptable inside the frame program: the inlined 16x8-step march
-    inflates the executable ~100x, and one dispatch of such a program
-    degrades EVERY subsequent dispatch in the process on the TPU
-    runtime (tiny jitted ops go 0.1 -> 25 ms, irreversibly).
+    inflates the executable ~100x (compile time and program bloat; the
+    round-4 claim that such a dispatch also permanently degraded the
+    process no longer reproduces — tests/test_runtime_protocol.py).
 
-    The frame is dispatched as a handful of per-stage jitted programs
-    (prelude / DI / GI / SVGF x2 / composition) rather than one fused
-    program — mirroring the reference's 18 separate passes
-    (camera_controller.rs:87-174). This is a measured TPU-compiler
-    necessity, not cosmetics: past ~a few hundred fusions per program,
-    XLA stops staging gather operands into scoped memory and every
-    screen-space take lowers to a ~14 ms scalar-core HBM loop (the
-    monolithic frame ran 4100 ms and took 459 s to compile; the same
-    math as stage programs runs at a few ms total). Stage boundaries
-    are plain HBM arrays; dispatch overhead is ~0.1 ms per stage.
+    Dispatch granularity (round 5): `render_frame` builds the frame
+    from per-stage jitted programs (prelude / DI / GI / SVGF /
+    composition — incremental compiles, per-stage profiling with
+    pbench.py), but the production loop should call
+    `render_frame_fused`, which traces the SAME code as ONE program.
+    Round 1-4 ran per-stage out of necessity — the per-field gather
+    expression of that era collapsed XLA's operand staging in large
+    programs (a monolithic frame then cost seconds); with row-batched
+    gathers (ops/gather.py) the fused program compiles fine and saves
+    ~7 ms of tunnel overhead per stage boundary (measured
+    staged-vs-fused delta, mbench.py vs rbench.py).
 
     Note (round 1 -> 2 behavior change): the GI pipeline now always
     receives LUTs when the sky is needed — `include_sky=False` no
@@ -178,8 +179,8 @@ def render_frame(
             warnings.warn(
                 "render_frame traced with a Tracer sun_altitude and no "
                 "luts: the analytic sky march would be inlined into the "
-                "frame program (program-bloat / dispatch-poisoning "
-                "hazard). Pass luts=luts_for(alt) explicitly.",
+                "frame program (~100x program bloat). Pass "
+                "luts=luts_for(alt) explicitly.",
                 stacklevel=2,
             )
 
@@ -289,7 +290,7 @@ def _stage_di(
     scene, camera, surf, prev_surface, reproj, di_prev, seed, frame,
     bn_first, sky, tuning=DEFAULT_TUNING, mesh=None,
 ):
-    """The four DI passes as one program (measured ~1 ms at 800x608)."""
+    """The four DI passes as one program."""
     from ..ops.trace import trace_rows_sharded
 
     with trace_rows_sharded(mesh):

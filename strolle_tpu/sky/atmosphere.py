@@ -26,10 +26,11 @@ from ..ops import math as vm
 
 # --- constants (atmosphere.rs:19-70) ---------------------------------------
 # Vector constants are NUMPY arrays on purpose: a module-level jnp
-# array is a committed device buffer, and a jitted program that
-# closure-captures a device buffer hangs/degrades the whole process on
-# the axon TPU runtime (a minimal `jit(lambda x: x * jnp_const)` hangs
-# >15 min; the same with an np constant embeds a literal and is clean).
+# array is a committed device buffer the jitted program must
+# closure-capture. Rounds 1-4 observed multi-minute hangs from that on
+# the axon runtime; the r5 re-probe shows no hang but still a ~1 s
+# first-dispatch penalty — an np constant embeds an HLO literal and is
+# clean either way.
 GROUND_RADIUS_MM = 6.360
 ATMOSPHERE_RADIUS_MM = 6.460
 VIEW_POS = np.asarray([0.0, GROUND_RADIUS_MM + 0.0002, 0.0], np.float32)
@@ -484,7 +485,7 @@ class _LutCache:
 
     The cached LUTs are device arrays, but they are only ever handed to
     jitted programs as ARGUMENTS (never closure-captured), so they do
-    not trip the dispatch-poisoning hazard that
+    not trip the capture hazard that
     tests/test_aux.py::test_no_module_level_device_array_constants
     polices. Wrapping them in an opaque (non-pytree) object documents
     that exemption and keeps the scan from flattening into the cache
