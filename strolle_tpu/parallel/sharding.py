@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..camera import Camera, screen_grid
+from ..camera import Camera
 from ..scene.types import Scene
 
 AXIS = "px"
@@ -41,23 +41,41 @@ def pad_rows(h: int, n: int) -> int:
 
 @partial(jax.jit, static_argnames=("mesh", "depth", "include_sky", "use_pallas"))
 def _render_sharded_jit(
-    mesh, scene, camera, grid, seed, depth, include_sky, use_pallas
+    mesh, scene, camera, seed, depth, include_sky, use_pallas
 ):
     from ..models.reference import sample_pixels
+
+    n = mesh.shape[AXIS]
+    h, w = camera.height, camera.width
+    rows = pad_rows(h, n) // n
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P()),
+        in_specs=(P(), P(), P()),
         out_specs=P(AXIS),
+        # pallas_call inside shard_map cannot annotate varying mesh
+        # axes on its outputs (see ops.trace._shard_over_rows); the
+        # body is per-shard-pure so the check adds nothing
+        check_vma=False,
     )
-    def shard_fn(scene_rep, camera_rep, grid_shard, seed_rep):
+    def shard_fn(scene_rep, camera_rep, seed_rep):
+        # each shard derives its own pixel rows from its mesh index
+        # (wrap past the image bottom for pad rows, dropped by the
+        # caller) — no [H, W, 2] grid array is built/transferred per
+        # call, which was measurable per-dispatch overhead
+        i = jax.lax.axis_index(AXIS)
+        yy = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + i * rows
+        ) % h
+        xx = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+        grid = jnp.stack([xx, yy], axis=-1)
         return sample_pixels(
-            scene_rep, camera_rep, grid_shard, seed_rep, depth, include_sky,
+            scene_rep, camera_rep, grid, seed_rep, depth, include_sky,
             use_pallas,
         )
 
-    return shard_fn(scene, camera, grid, seed)
+    return shard_fn(scene, camera, seed)
 
 
 def render_sample_sharded(
@@ -74,18 +92,10 @@ def render_sample_sharded(
     Returns [H, W, 3]. Pads rows to a multiple of the axis size; padded
     rows trace real rays at mirrored coordinates and are dropped.
     """
-    n = mesh.shape[AXIS]
-    grid = screen_grid(camera)  # [H, W, 2]
-    h = grid.shape[0]
-    hp = pad_rows(h, n)
-    if hp != h:
-        # wrap-pad: valid coords for any pad size (a mirror slice goes
-        # wrong when pad > h, i.e. device count > 2x image rows); the
-        # padded rows trace real rays and are dropped below.
-        grid = jnp.pad(grid, ((0, hp - h), (0, 0), (0, 0)), mode="wrap")
-
     seed = jnp.asarray(seed, jnp.uint32)
     img = _render_sharded_jit(
-        mesh, scene, camera, grid, seed, depth, include_sky, use_pallas
+        mesh, scene, camera, seed, depth, include_sky, use_pallas
     )
-    return img[:h]
+    # pad rows (wrap-indexed inside the shard body) are dropped here
+    h = camera.height
+    return img if img.shape[0] == h else img[:h]

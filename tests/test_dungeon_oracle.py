@@ -121,3 +121,68 @@ def test_dungeon_restir_di_matches_direct_lighting_oracle(dg):
     assert rel < 0.15, f"mean brightness off by {rel:.3f}"
     corr = np.corrcoef(r.flatten(), g.flatten())[0, 1]
     assert corr > 0.9, f"correlation {corr:.3f}"
+
+
+def test_dungeon_gi_matches_one_bounce_indirect_oracle(dg):
+    """GI-only ReSTIR on the DUNGEON (textures x BVH x LUT sky in the
+    GI loop), temporally averaged, must converge to the reference
+    tracer's one-bounce indirect lighting (depth1 - depth0) — the
+    dungeon twin of tests/test_restir.py's Cornell GI oracle
+    (VERDICT r4 missing #4). Exercises atlas-sampled albedo at the
+    secondary vertex and the sky-vs-RIS light selection with real
+    Hillaire LUTs, none of which Cornell touches."""
+    from strolle_tpu.models.restir import RenderConfig, init_state, render_frame
+    from strolle_tpu.sky.atmosphere import luts_for
+
+    scene = dg.replace(sun_altitude=jnp.asarray(0.35, jnp.float32))
+    luts = luts_for(0.35)
+    cam = dungeon_camera(40, 24)
+
+    cfg = RenderConfig(denoise=False, needs_di=False, needs_gi=True)
+    state = init_state(cam)
+    acc = None
+    frames = 36  # 6 full 6-frame GI cycles
+    for f in range(frames):
+        ch, state = render_frame(
+            scene, cam, state, jnp.uint32(11 * f + 5), cfg, luts=luts
+        )
+        acc = ch["image"] if acc is None else acc + ch["image"]
+    restir = np.asarray(acc) / frames
+
+    # subtract the emissive-only composition to isolate indirect light
+    cfg0 = RenderConfig(denoise=False, needs_di=False, needs_gi=False)
+    ch0, _ = render_frame(
+        scene, cam, init_state(cam), jnp.uint32(1), cfg0, luts=luts
+    )
+    restir_ind = restir - np.asarray(ch0["image"])
+
+    d1 = np.zeros_like(restir)
+    d0 = np.zeros_like(restir)
+    n_ref = 48
+    for s in range(n_ref):
+        d1 += np.asarray(
+            trace_sample(scene, cam, jnp.uint32(s), depth=1,
+                         include_sky=True, luts=luts)
+        )
+        d0 += np.asarray(
+            trace_sample(scene, cam, jnp.uint32(s), depth=0,
+                         include_sky=True, luts=luts)
+        )
+    oracle_ind = (d1 - d0) / n_ref
+
+    r = restir_ind[3:-3, 3:-3]
+    g = oracle_ind[3:-3, 3:-3]
+    assert np.isfinite(r).all() and np.isfinite(g).all()
+    rel = np.abs(r.mean() - g.mean()) / g.mean()
+    assert rel < 0.15, f"mean indirect brightness off by {rel:.3f}"
+    # spatial structure at 4x downsampling (spatial reuse smooths fine
+    # grain; the dungeon's textured walls still give strong variation)
+    k = 4
+    h, w = r.shape[:2]
+    hh, ww = h // k * k, w // k * k
+
+    def ds(a):
+        return a[:hh, :ww].reshape(hh // k, k, ww // k, k, 3).mean(axis=(1, 3))
+
+    corr = np.corrcoef(ds(r).flatten(), ds(g).flatten())[0, 1]
+    assert corr > 0.85, f"downsampled correlation {corr:.3f}"
