@@ -204,7 +204,28 @@ def _interval_slab(clus, o_lo, o_hi, d_lo, d_hi):
     tn = tn_lo.max(axis=-1)  # conservative entry lower bound
     tf = tf_hi.min(axis=-1)  # conservative exit upper bound
     entered = (tn <= tf) & (tf >= 0.0)
-    return entered, jnp.maximum(tn, 0.0)
+
+    # Direction-free distance bound: for a ray starting inside the
+    # tile's origin box, the entry parameter satisfies
+    # t * |d| >= dist(origin_box, cluster_box), so
+    # t >= dist / max|d|. INCOHERENT tiles (GI/reference bounce rays —
+    # every direction interval spans zero) collapse the slab bound to
+    # 0, which killed front-to-back ordering and early termination;
+    # their ORIGINS stay screen-block coherent, so this euclidean bound
+    # keeps the walk ordered by distance from the origin block and the
+    # loop closes as soon as every lane's closest hit is nearer than
+    # the next cluster (measured: the whole fix is what makes dungeon
+    # bounce traces terminate after the nearby corridors instead of
+    # walking the level).
+    gap = jnp.maximum(
+        jnp.maximum(bmin - o_hi, o_lo - bmax), 0.0
+    )  # [g, K, 3]
+    dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1))
+    dmax = jnp.maximum(jnp.abs(d_lo), jnp.abs(d_hi))  # [g, 1, 3]
+    dnorm_hi = jnp.sqrt(jnp.sum(dmax * dmax, axis=-1))  # [g, 1]
+    tn_dist = dist / jnp.maximum(dnorm_hi, 1e-20)
+
+    return entered, jnp.maximum(jnp.maximum(tn, tn_dist), 0.0)
 
 
 def _tile_minmax(p, g):
