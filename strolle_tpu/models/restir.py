@@ -202,7 +202,7 @@ def render_frame(
         di_diff, di_spec, di_prev = _stage_di(
             scene, camera, surf, state.prev_surface, reproj,
             state.di_prev, seed, frame, bn_first, sky, config.tuning,
-            mesh,
+            mesh, use_pallas,
         )
     if config.needs_gi:
         gi_diff, gi_spec, gi_prev = _stage_gi(
@@ -285,10 +285,10 @@ def _stage_prelude(
     return surf, reproj, sky, bn_first, bn_second
 
 
-@partial(jax.jit, static_argnames=("tuning", "mesh"))
+@partial(jax.jit, static_argnames=("tuning", "mesh", "use_pallas"))
 def _stage_di(
     scene, camera, surf, prev_surface, reproj, di_prev, seed, frame,
-    bn_first, sky, tuning=DEFAULT_TUNING, mesh=None,
+    bn_first, sky, tuning=DEFAULT_TUNING, mesh=None, use_pallas=None,
 ):
     """The four DI passes as one program."""
     from ..ops.trace import trace_rows_sharded
@@ -302,7 +302,8 @@ def _stage_di(
             derive_seed(seed, 1), tuning,
         )
         c = di_mod.di_spatial(
-            scene, camera, surf, b, derive_seed(seed, 2), frame, tuning
+            scene, camera, surf, b, derive_seed(seed, 2), frame, tuning,
+            use_pallas,
         )
         return di_mod.di_resolving(scene, camera, surf, c, sky)
 

@@ -112,12 +112,18 @@ class SharedOffsetTaps:
             mirror_pad(jnp.stack(u32_planes, 0), margin) if u32_planes else None
         )
 
-    def take(self, dy, dx, sel):
+    def take(self, dy, dx, sel, kmax: int | None = None):
         """Fetch all fields at per-pixel offsets ``(dy[sel], dx[sel])``
         (mirrored at edges). ``dy``/``dx`` are the i32[V] offset table;
-        ``sel`` is i32[H, W]. Returns fields with original shapes."""
+        ``sel`` is i32[H, W]. Returns fields with original shapes.
+
+        ``kmax``: static bound on the reachable selector range — the
+        adaptive-radius walk can only have descended ``nth`` levels by
+        try ``nth``, so early tries need only the first
+        ``variants * (nth + 1)`` table entries; skipping the rest cuts
+        the slice+select chain ~30% with identical results."""
         h, w, m = self.h, self.w, self.m
-        v = dy.shape[0]
+        v = dy.shape[0] if kmax is None else min(kmax, dy.shape[0])
 
         def combine(stack):
             if stack is None:
@@ -145,9 +151,9 @@ class SharedOffsetTaps:
             results.append(piece)
         return results
 
-    def offset_of(self, dy, dx, sel):
+    def offset_of(self, dy, dx, sel, kmax: int | None = None):
         """The per-pixel (dy, dx) the selector resolves to."""
-        v = dy.shape[0]
+        v = dy.shape[0] if kmax is None else min(kmax, dy.shape[0])
         oy = jnp.zeros(sel.shape, jnp.int32)
         ox = jnp.zeros(sel.shape, jnp.int32)
         for k in range(v):

@@ -228,6 +228,40 @@ def checkerboard_active(camera: Camera, frame) -> jnp.ndarray:
     return (xs % 2) == parity
 
 
+def _probe_kernel_enabled(use_pallas) -> bool:
+    """The fused Pallas probe runs on TPU (or interpret mode), outside
+    any shard_map trace context (a pallas_call cannot be GSPMD-
+    partitioned over a screen-sharded mesh) and outside the
+    differentiable path (the probe's discrete decisions carry no
+    gradient, but the jnp loop keeps jac/weight tangents flowing)."""
+    import os
+
+    from ..ops.trace import _TRACE_MESH, _pallas_available
+
+    return (
+        os.environ.get("STROLLE_PROBE_KERNEL", "0") == "1"
+        and use_pallas is not False
+        and _pallas_available()
+        and _TRACE_MESH.get() is None
+    )
+
+
+def _draw_probe_tables(seed_u, tries, radii, n_var, margin):
+    """The per-try shared offset tables, concatenated [tries * V] —
+    exactly the draws the jnp probe loop makes."""
+    from ..ops import offsets as shoff
+
+    dys, dxs = [], []
+    for nth in range(tries):
+        dy, dx = shoff.draw_offset_table(
+            seed_u ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
+            radii, n_var, margin=margin,
+        )
+        dys.append(dy)
+        dxs.append(dx)
+    return jnp.concatenate(dys), jnp.concatenate(dxs)
+
+
 def di_spatial(
     scene: Scene,
     camera: Camera,
@@ -236,6 +270,7 @@ def di_spatial(
     seed,
     frame,
     tuning: Tuning = DEFAULT_TUNING,
+    use_pallas: bool | None = None,
 ) -> rsv.DiReservoirs:
     """Checkerboarded spatial reuse (di_spatial_resampling.rs): pick one
     similar neighbor in <= 8 tries (radius 128 px halving to >= 5 on
@@ -245,8 +280,10 @@ def di_spatial(
 
     Neighbor probing uses the shared-offset reformulation
     (ops/offsets.py): per try, each pixel picks a fresh shared disk
-    offset at its adaptive radius level, so the gate fetches are
-    shifted selects instead of per-pixel gathers."""
+    offset at its adaptive radius level. On TPU the whole probe loop
+    runs as ONE Pallas stencil kernel over halo'd VMEM windows
+    (ops/pallas/probe_kernels.py, bit-compatible with the jnp loop);
+    elsewhere the gate fetches are shifted selects in XLA."""
     from ..ops import offsets as shoff
 
     h, w = surf.depth.shape
@@ -257,39 +294,81 @@ def di_spatial(
 
     lhs = res
 
-    done = jnp.zeros(shape, bool)
-    rhs_x = jnp.zeros(shape, jnp.int32)
-    rhs_y = jnp.zeros(shape, jnp.int32)
-
     radii = shoff.radius_levels(tuning.di_spatial_radius)
     n_lvls = len(radii)
     n_var = 2
     margin = shoff.probe_margin(tuning.di_spatial_radius, h, w)
-    probe = shoff.SharedOffsetTaps(
-        (surf.depth, surf.normal, surf.is_some, res.m), margin=margin
-    )
-    level = jnp.zeros(shape, jnp.int32)
     seed = jnp.asarray(seed, jnp.uint32)
-    for nth in range(tuning.di_spatial_samples):
-        dy, dx = shoff.draw_offset_table(
-            seed ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
-            radii, n_var, margin=margin,
+
+    if _probe_kernel_enabled(use_pallas):
+        from ..ops.trace import _interpret
+        from ..ops.pallas.probe_kernels import probe_spatial_pallas
+
+        dy_tab, dx_tab = _draw_probe_tables(
+            seed, tuning.di_spatial_samples, radii, n_var, margin
         )
-        state, word = rng.next_u32(state)
-        sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
-        c_depth, c_normal, c_some, c_m = probe.take(dy, dx, sel)
-        oy, ox = probe.offset_of(dy, dx, sel)
+        stack = jnp.stack(
+            [
+                surf.depth,
+                surf.normal[..., 0],
+                surf.normal[..., 1],
+                surf.normal[..., 2],
+                surf.is_some.astype(jnp.float32),
+                res.m,
+            ],
+            axis=0,
+        )
+        oy, ox, done = probe_spatial_pallas(
+            stack, dy_tab, dx_tab, seed,
+            mode="di", tries=tuning.di_spatial_samples, n_var=n_var,
+            n_lvls=n_lvls, margin=margin, depth_tol=0.33, normal_min=0.33,
+            interpret=_interpret(),
+        )
         cx, cy = contain_xy(camera, xs + ox, ys + oy)
-        same = (cx == xs) & (cy == ys)
-        depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
-        normal_bad = vm.dot(c_normal, surf.normal) < 0.33
-        gate_fail = ~c_some | depth_bad | normal_bad
-        shrink = ~done & ~same & gate_fail
-        level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
-        accept = ~done & ~same & ~gate_fail & (c_m > 0.0)
-        rhs_x = jnp.where(accept, cx, rhs_x)
-        rhs_y = jnp.where(accept, cy, rhs_y)
-        done = done | accept
+        rhs_x = jnp.where(done, cx, 0)
+        rhs_y = jnp.where(done, cy, 0)
+        # the kernel consumed one word per try from the per-pixel
+        # stream; advance the XLA-side state identically so the merge
+        # RNG below stays bit-equal with the jnp path
+        for _ in range(tuning.di_spatial_samples):
+            state, _ = rng.next_u32(state)
+    else:
+        done = jnp.zeros(shape, bool)
+        rhs_x = jnp.zeros(shape, jnp.int32)
+        rhs_y = jnp.zeros(shape, jnp.int32)
+        # is_some and the m > 0 test ride ONE gate plane (0 = sky,
+        # 1 = surface with empty reservoir, 2 = surface + m > 0): the
+        # probe cost is planes x variants, and m's VALUE is never used
+        gate = jnp.where(
+            surf.is_some, jnp.where(res.m > 0.0, 2.0, 1.0), 0.0
+        )
+        probe = shoff.SharedOffsetTaps(
+            (surf.depth, surf.normal, gate), margin=margin
+        )
+        level = jnp.zeros(shape, jnp.int32)
+        for nth in range(tuning.di_spatial_samples):
+            dy, dx = shoff.draw_offset_table(
+                seed ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
+                radii, n_var, margin=margin,
+            )
+            state, word = rng.next_u32(state)
+            sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
+            # by try nth the level walk has descended <= nth levels, so
+            # only the first n_var*(nth+1) table entries are reachable
+            kmax = n_var * (nth + 1)
+            c_depth, c_normal, c_gate = probe.take(dy, dx, sel, kmax=kmax)
+            oy, ox = probe.offset_of(dy, dx, sel, kmax=kmax)
+            cx, cy = contain_xy(camera, xs + ox, ys + oy)
+            same = (cx == xs) & (cy == ys)
+            depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
+            normal_bad = vm.dot(c_normal, surf.normal) < 0.33
+            gate_fail = (c_gate < 1.0) | depth_bad | normal_bad
+            shrink = ~done & ~same & gate_fail
+            level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
+            accept = ~done & ~same & ~gate_fail & (c_gate >= 2.0)
+            rhs_x = jnp.where(accept, cx, rhs_x)
+            rhs_y = jnp.where(accept, cy, rhs_y)
+            done = done | accept
 
     found = done & active & surf.is_some
     rhs, rhs_surf = gather.gather_tree((res, surf), rhs_y, rhs_x)

@@ -542,11 +542,14 @@ def gi_spatial(
     seed,
     frame,
     tuning: Tuning = DEFAULT_TUNING,
+    use_pallas: bool | None = None,
 ) -> GiReservoirs:
     """gi_spatial_resampling.rs: like DI spatial plus the reconnection
     Jacobian (reject outside [1/10, 10], clamp to [1/3, 3]) applied to
-    both the MIS and the merge weight. Checkerboarded."""
-    from .di import checkerboard_active
+    both the MIS and the merge weight. Checkerboarded. On TPU the probe
+    loop (gates + Jacobian walk) runs as one Pallas stencil kernel
+    (ops/pallas/probe_kernels.py; see di_spatial)."""
+    from .di import _draw_probe_tables, _probe_kernel_enabled, checkerboard_active
 
     shape = surf.depth.shape
     xs, ys = screen_xy(camera)
@@ -554,11 +557,6 @@ def gi_spatial(
     active = checkerboard_active(camera, frame)
 
     lhs = res
-
-    done = jnp.zeros(shape, bool)
-    rhs_x = jnp.zeros(shape, jnp.int32)
-    rhs_y = jnp.zeros(shape, jnp.int32)
-    rhs_jac = jnp.zeros(shape, jnp.float32)
 
     # shared-offset probing (ops/offsets.py; see di_spatial)
     from ..ops import offsets as shoff
@@ -568,50 +566,95 @@ def gi_spatial(
     n_lvls = len(radii)
     n_var = 2
     margin = shoff.probe_margin(tuning.gi_spatial_radius, h, w)
-    probe = shoff.SharedOffsetTaps(
-        (surf.depth, surf.normal, surf.is_some,
-         res.m, res.v1_point, res.v2_point, res.v2_normal),
-        margin=margin,
-    )
-    level = jnp.zeros(shape, jnp.int32)
     seed_u = jnp.asarray(seed, jnp.uint32)
-    for nth in range(tuning.gi_spatial_samples):
-        dy, dx = shoff.draw_offset_table(
-            seed_u ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
-            radii, n_var, margin=margin,
-        )
-        state, word = rng.next_u32(state)
-        sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
-        c_depth, c_normal, c_some, c_m, c_v1, c_v2, c_v2n = probe.take(
-            dy, dx, sel
-        )
-        oy, ox = probe.offset_of(dy, dx, sel)
-        cx, cy = contain_xy(camera, xs + ox, ys + oy)
-        same = (cx == xs) & (cy == ys)
-        depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
-        normal_bad = vm.dot(c_normal, surf.normal) < 0.33
-        gate_fail = ~c_some | depth_bad | normal_bad
-        shrink = ~done & ~same & gate_fail
-        level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
 
-        cand_geom = GiReservoirs.empty(shape).replace(
-            m=c_m, v1_point=c_v1, v2_point=c_v2, v2_normal=c_v2n
+    if _probe_kernel_enabled(use_pallas):
+        from ..ops.trace import _interpret
+        from ..ops.pallas.probe_kernels import probe_spatial_pallas
+
+        dy_tab, dx_tab = _draw_probe_tables(
+            seed_u, tuning.gi_spatial_samples, radii, n_var, margin
         )
-        jac = sample_jacobian(cand_geom, surf.point)
-        jac_ok = (
-            jac >= 1.0 / tuning.gi_jacobian_reject
-        ) & (jac <= tuning.gi_jacobian_reject)
-        accept = ~done & ~same & ~gate_fail & (c_m > 0.0) & jac_ok
-        rhs_x = jnp.where(accept, cx, rhs_x)
-        rhs_y = jnp.where(accept, cy, rhs_y)
-        rhs_jac = jnp.where(
-            accept,
-            jnp.clip(
-                jac, 1.0 / tuning.gi_jacobian_clamp, tuning.gi_jacobian_clamp
-            ),
-            rhs_jac
+        stack = jnp.stack(
+            [
+                surf.depth,
+                surf.normal[..., 0], surf.normal[..., 1], surf.normal[..., 2],
+                surf.is_some.astype(jnp.float32),
+                res.m,
+                res.v1_point[..., 0], res.v1_point[..., 1], res.v1_point[..., 2],
+                res.v2_point[..., 0], res.v2_point[..., 1], res.v2_point[..., 2],
+                res.v2_normal[..., 0], res.v2_normal[..., 1], res.v2_normal[..., 2],
+                surf.point[..., 0], surf.point[..., 1], surf.point[..., 2],
+            ],
+            axis=0,
         )
-        done = done | accept
+        oy, ox, done, rhs_jac = probe_spatial_pallas(
+            stack, dy_tab, dx_tab, seed_u,
+            mode="gi", tries=tuning.gi_spatial_samples, n_var=n_var,
+            n_lvls=n_lvls, margin=margin, depth_tol=0.33, normal_min=0.33,
+            jac_reject=tuning.gi_jacobian_reject,
+            jac_clamp=tuning.gi_jacobian_clamp,
+            interpret=_interpret(),
+        )
+        cx, cy = contain_xy(camera, xs + ox, ys + oy)
+        rhs_x = jnp.where(done, cx, 0)
+        rhs_y = jnp.where(done, cy, 0)
+        for _ in range(tuning.gi_spatial_samples):
+            state, _ = rng.next_u32(state)
+    else:
+        done = jnp.zeros(shape, bool)
+        rhs_x = jnp.zeros(shape, jnp.int32)
+        rhs_y = jnp.zeros(shape, jnp.int32)
+        rhs_jac = jnp.zeros(shape, jnp.float32)
+        # is_some + (m > 0) fold into one gate plane (see di_spatial)
+        gate = jnp.where(
+            surf.is_some, jnp.where(res.m > 0.0, 2.0, 1.0), 0.0
+        )
+        probe = shoff.SharedOffsetTaps(
+            (surf.depth, surf.normal, gate,
+             res.v1_point, res.v2_point, res.v2_normal),
+            margin=margin,
+        )
+        level = jnp.zeros(shape, jnp.int32)
+        for nth in range(tuning.gi_spatial_samples):
+            dy, dx = shoff.draw_offset_table(
+                seed_u ^ jnp.uint32((0x9E3779B9 * (nth + 1)) & 0xFFFFFFFF),
+                radii, n_var, margin=margin,
+            )
+            state, word = rng.next_u32(state)
+            sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
+            kmax = n_var * (nth + 1)  # reachable levels by try nth
+            c_depth, c_normal, c_gate, c_v1, c_v2, c_v2n = probe.take(
+                dy, dx, sel, kmax=kmax
+            )
+            oy, ox = probe.offset_of(dy, dx, sel, kmax=kmax)
+            cx, cy = contain_xy(camera, xs + ox, ys + oy)
+            same = (cx == xs) & (cy == ys)
+            depth_bad = jnp.abs(c_depth - surf.depth) > 0.33 * surf.depth
+            normal_bad = vm.dot(c_normal, surf.normal) < 0.33
+            gate_fail = (c_gate < 1.0) | depth_bad | normal_bad
+            shrink = ~done & ~same & gate_fail
+            level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
+
+            cand_geom = GiReservoirs.empty(shape).replace(
+                m=jnp.maximum(c_gate - 1.0, 0.0),
+                v1_point=c_v1, v2_point=c_v2, v2_normal=c_v2n
+            )
+            jac = sample_jacobian(cand_geom, surf.point)
+            jac_ok = (
+                jac >= 1.0 / tuning.gi_jacobian_reject
+            ) & (jac <= tuning.gi_jacobian_reject)
+            accept = ~done & ~same & ~gate_fail & (c_gate >= 2.0) & jac_ok
+            rhs_x = jnp.where(accept, cx, rhs_x)
+            rhs_y = jnp.where(accept, cy, rhs_y)
+            rhs_jac = jnp.where(
+                accept,
+                jnp.clip(
+                    jac, 1.0 / tuning.gi_jacobian_clamp, tuning.gi_jacobian_clamp
+                ),
+                rhs_jac
+            )
+            done = done | accept
 
     found = done & active & surf.is_some & ~lhs.is_empty
     rhs, rhs_surf = gather.gather_tree((res, surf), rhs_y, rhs_x)
@@ -818,7 +861,8 @@ def gi_pipeline(
     source = jax.lax.cond(
         use_spatial,
         lambda: gi_spatial(
-            scene, camera, surf, t, derive_seed(seed, 13), frame, tuning
+            scene, camera, surf, t, derive_seed(seed, 13), frame, tuning,
+            use_pallas,
         ),
         lambda: t,
     )
