@@ -40,6 +40,7 @@ GROUPS: list[tuple[str, list[str]]] = [
             "test_stream_kernels.py",
             "test_cluster_kernels.py",
             "test_bvh_kernels.py",
+            "test_probe_kernels.py",
         ],
     ),
     (

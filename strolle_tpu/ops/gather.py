@@ -17,6 +17,12 @@ jitted program, dispatch cancelled):
   ~0.04-0.2 ms. Pack + unpack relayouts around the take are absorbed
   by XLA fusion (pack_unpack32 probe: 5.6 ms total vs 4.9 for the
   bare take).
+* TABLE SIZE matters as much as channel count (measured round 5,
+  486k indices): a take over a small table ([8.4k, 25] geometry rows)
+  costs **~0.8 ms**, while the same take over an atlas-sized table
+  (4.2M rows) costs **5-10 ms** (f32 C=4: 5.0, C=16: 10.0; u32 C=4:
+  4.9). Big-table gathers are why texture sampling packs RGBA8
+  corners into u32 rows (ops/texture.py).
 * static pad+slice shifts: ~0.02 ms; k-way shifted selects (8 shifts
   + wheres): ~0.014 ms; both are pure-bandwidth VPU work.
 * 2-D advanced indexing (``arr[cy, cx]``): ~5 ms — same engine as the
