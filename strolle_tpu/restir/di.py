@@ -386,8 +386,24 @@ def di_spatial(
     b_o, b_d, b_len = sample_shadow_ray(rhs.light_point, surf.point)
     a_len = jnp.where(found & (lhs_rhs_pdf > 0.0), a_len, 0.0)
     b_len = jnp.where(found & (rhs_lhs_pdf > 0.0), b_len, 0.0)
-    lhs_rhs_vis = jnp.where(trace_anyhit(scene, a_o, a_d, a_len), 0.0, 1.0)
-    rhs_lhs_vis = jnp.where(trace_anyhit(scene, b_o, b_d, b_len), 0.0, 1.0)
+    from ..ops import checkerboard as cb
+
+    if cb.compaction_pays(scene, w):
+        # ``found`` lives on one checkerboard half (checkerboard_active
+        # parity), so both candidate rays pack into ONE full-width
+        # anyhit pass (ops/checkerboard.paired_anyhit): half the trace
+        parity = cb.row_parity(
+            jnp.asarray(frame, jnp.int32) // 2 + 1, h
+        )
+        a_occ, b_occ = cb.paired_anyhit(
+            trace_anyhit, scene, parity,
+            (a_o, a_d, a_len), (b_o, b_d, b_len),
+        )
+    else:
+        a_occ = trace_anyhit(scene, a_o, a_d, a_len)
+        b_occ = trace_anyhit(scene, b_o, b_d, b_len)
+    lhs_rhs_vis = jnp.where(a_occ, 0.0, 1.0)
+    rhs_lhs_vis = jnp.where(b_occ, 0.0, 1.0)
 
     mis = mis_eval(
         lhs_m=lhs.m,

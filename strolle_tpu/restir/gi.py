@@ -315,9 +315,33 @@ def gi_sampling(
     # empty reservoirs when validating
     active = covered & jnp.where(tracing, surf.is_some, ~rep.is_empty)
 
-    gi_surf = trace_surface(
-        scene, gi_origin, gi_dir, regularize=True, use_pallas=use_pallas
-    )
+    # ``covered`` is one checkerboard half: compact the bounce rays to
+    # [H, W/2] so the trace (and its in-kernel surface/atlas resolve)
+    # costs half — the reference halves its dispatch the same way
+    # (passes/gi_sampling.rs:72-77). Inactive lanes' results are
+    # zeros/miss, exactly what the downstream `active` masks discard.
+    from ..ops import checkerboard as cb
+
+    cb_parity = None
+    if cb.compaction_pays(scene, shape[1]):
+        f_eff = jnp.where(
+            is_gi_tracing(frame),
+            jnp.asarray(frame, jnp.int32) // 2,
+            jnp.asarray(frame, jnp.int32),
+        )
+        cb_parity = cb.row_parity(f_eff, shape[0])
+        gi_surf_half = trace_surface(
+            scene,
+            cb.compact(cb_parity, gi_origin),
+            cb.compact(cb_parity, gi_dir),
+            regularize=True,
+            use_pallas=use_pallas,
+        )
+        gi_surf = cb.expand_tree(cb_parity, gi_surf_half, 0)
+    else:
+        gi_surf = trace_surface(
+            scene, gi_origin, gi_dir, regularize=True, use_pallas=use_pallas
+        )
 
     # --- part B: shade the secondary vertex ---------------------------
     state_fresh = rng.wnoise_new(seed_b, xs, ys)
@@ -401,7 +425,18 @@ def gi_sampling(
     sr_d = jnp.where((light_id < 0)[..., None], sky_d, w_d)
     sr_len = jnp.where(light_id < 0, jnp.inf, w_len)
     sr_len = jnp.where(miss | ~active | (light_pdf <= 0.0), 0.0, sr_len)
-    occluded = trace_anyhit(scene, sr_o, sr_d, sr_len)
+    if cb_parity is not None:
+        # inactive lanes have sr_len == 0 (masked just above), so the
+        # compacted half-width occlusion pass is exact
+        occ_half = trace_anyhit(
+            scene,
+            cb.compact(cb_parity, sr_o),
+            cb.compact(cb_parity, sr_d),
+            cb.compact(cb_parity, sr_len),
+        )
+        occluded = cb.expand(cb_parity, occ_half, False)
+    else:
+        occluded = trace_anyhit(scene, sr_o, sr_d, sr_len)
     vis = jnp.where(occluded, 0.0, 1.0)
 
     rad = jnp.where(
@@ -668,8 +703,22 @@ def gi_spatial(
     b_o, b_d, b_len = sample_ray(rhs, surf.point)
     a_len = jnp.where(found & (lhs_rhs_pdf > 0.0), a_len, 0.0)
     b_len = jnp.where(found & (rhs_lhs_pdf > 0.0), b_len, 0.0)
-    lhs_rhs_vis = jnp.where(trace_anyhit(scene, a_o, a_d, a_len), 0.0, 1.0)
-    rhs_lhs_vis = jnp.where(trace_anyhit(scene, b_o, b_d, b_len), 0.0, 1.0)
+    from ..ops import checkerboard as cb
+
+    if cb.compaction_pays(scene, shape[1]):
+        # one packed half-width-pair pass (see di_spatial)
+        parity = cb.row_parity(
+            jnp.asarray(frame, jnp.int32) // 2 + 1, shape[0]
+        )
+        a_occ, b_occ = cb.paired_anyhit(
+            trace_anyhit, scene, parity,
+            (a_o, a_d, a_len), (b_o, b_d, b_len),
+        )
+    else:
+        a_occ = trace_anyhit(scene, a_o, a_d, a_len)
+        b_occ = trace_anyhit(scene, b_o, b_d, b_len)
+    lhs_rhs_vis = jnp.where(a_occ, 0.0, 1.0)
+    rhs_lhs_vis = jnp.where(b_occ, 0.0, 1.0)
 
     mis = mis_eval(
         lhs_m=lhs.m,
