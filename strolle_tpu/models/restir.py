@@ -198,17 +198,30 @@ def render_frame(
     di_prev = state.di_prev
     gi_prev = state.gi_prev
 
+    # DI temporal and GI reprojection both gather their history at the
+    # SAME reprojected coordinates; when both run, share ONE
+    # row-batched take (a take's cost is flat in the field count but
+    # ~5 ms each at 800x608 — ops/gather.py)
+    di_pre = gi_pre = None
+    if config.needs_di and config.needs_gi:
+        di_rhs, gi_rep, rhs_surf = _stage_history(
+            camera, reproj, state.di_prev, state.gi_prev,
+            state.prev_surface,
+        )
+        di_pre = (di_rhs, rhs_surf)
+        gi_pre = (gi_rep, rhs_surf)
+
     if config.needs_di:
         di_diff, di_spec, di_prev = _stage_di(
             scene, camera, surf, state.prev_surface, reproj,
             state.di_prev, seed, frame, bn_first, sky, config.tuning,
-            mesh, use_pallas,
+            mesh, use_pallas, di_pre,
         )
     if config.needs_gi:
         gi_diff, gi_spec, gi_prev = _stage_gi(
             scene, camera, surf, state.prev_surface, reproj,
             state.gi_prev, seed, frame, bn_second, luts, use_pallas,
-            config.tuning, mesh,
+            config.tuning, mesh, gi_pre,
         )
 
     # --- denoising (SVGF on the diffuse channels; spec is not denoised,
@@ -285,10 +298,23 @@ def _stage_prelude(
     return surf, reproj, sky, bn_first, bn_second
 
 
+@jax.jit
+def _stage_history(camera, reproj, di_prev, gi_prev, prev_surface):
+    """The shared history fetch: one take at the reprojected coords
+    serves DI temporal, GI reprojection, and the prev-surface taps."""
+    from ..ops import gather
+
+    rpx, rpy = reproj.prev_xy_round
+    rx = jnp.clip(rpx, 0, camera.width - 1)
+    ry = jnp.clip(rpy, 0, camera.height - 1)
+    return gather.gather_tree((di_prev, gi_prev, prev_surface), ry, rx)
+
+
 @partial(jax.jit, static_argnames=("tuning", "mesh", "use_pallas"))
 def _stage_di(
     scene, camera, surf, prev_surface, reproj, di_prev, seed, frame,
     bn_first, sky, tuning=DEFAULT_TUNING, mesh=None, use_pallas=None,
+    prefetched=None,
 ):
     """The four DI passes as one program."""
     from ..ops.trace import trace_rows_sharded
@@ -299,7 +325,7 @@ def _stage_di(
         )
         b = di_mod.di_temporal(
             scene, camera, surf, prev_surface, reproj, a, di_prev,
-            derive_seed(seed, 1), tuning,
+            derive_seed(seed, 1), tuning, prefetched,
         )
         c = di_mod.di_spatial(
             scene, camera, surf, b, derive_seed(seed, 2), frame, tuning,
@@ -312,13 +338,14 @@ def _stage_di(
 def _stage_gi(
     scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
     bn_second, luts, use_pallas=None, tuning=DEFAULT_TUNING, mesh=None,
+    prefetched=None,
 ):
     from ..ops.trace import trace_rows_sharded
 
     with trace_rows_sharded(mesh):
         return gi_mod.gi_pipeline(
             scene, camera, surf, prev_surface, reproj, gi_prev, seed, frame,
-            bn_second, luts, use_pallas, tuning,
+            bn_second, luts, use_pallas, tuning, prefetched,
         )
 
 

@@ -135,10 +135,16 @@ def di_temporal(
     prev: rsv.DiReservoirs,
     seed,
     tuning: Tuning = DEFAULT_TUNING,
+    prefetched=None,
 ) -> rsv.DiReservoirs:
     """Temporal merge with reprojected history
     (di_temporal_resampling.rs): M clamp 64, light kill/remap handling,
-    defensive pairwise MIS, norm_mis."""
+    defensive pairwise MIS, norm_mis.
+
+    ``prefetched``: optional (rhs, rhs_surf) already gathered at the
+    reprojected position (models.restir fetch_history shares ONE
+    row-batched take between the DI and GI temporal paths — they index
+    the same coordinates)."""
     xs, ys = screen_xy(camera)
     state = rng.wnoise_new(seed, xs, ys)
     shape = surf.depth.shape
@@ -155,10 +161,13 @@ def di_temporal(
     # row-batched take (ops/gather.py: per-take cost is flat in the
     # field count, so the two trees share the gather)
     has_rep = reproj.is_some
-    rpx, rpy = reproj.prev_xy_round
-    rx = jnp.clip(rpx, 0, camera.width - 1)
-    ry = jnp.clip(rpy, 0, camera.height - 1)
-    rhs, rhs_surf = gather.gather_tree((prev, prev_surf), ry, rx)
+    if prefetched is not None:
+        rhs, rhs_surf = prefetched
+    else:
+        rpx, rpy = reproj.prev_xy_round
+        rx = jnp.clip(rpx, 0, camera.width - 1)
+        ry = jnp.clip(rpy, 0, camera.height - 1)
+        rhs, rhs_surf = gather.gather_tree((prev, prev_surf), ry, rx)
     rhs = rsv.select(has_rep, rhs, rsv.DiReservoirs.empty(shape))
     rhs = rsv.clamp_m(rhs, tuning.di_temporal_m_clamp)
 

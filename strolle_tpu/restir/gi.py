@@ -195,23 +195,40 @@ def sample_ray(res: GiReservoirs, hit_point):
     )
 
 
-def sample_jacobian(res: GiReservoirs, new_hit_point):
-    """Reconnection-shift Jacobian (gi.rs:135-159)."""
+def _jacobian_partial(p, v2_point, v2_normal):
+    vec = p - v2_point
+    dist = vm.length(vec)
+    cos = vm.saturate(
+        vm.dot(v2_normal, vec / jnp.maximum(dist, 1e-20)[..., None])
+    )
+    return dist, cos
 
-    def partial(p):
-        vec = p - res.v2_point
-        dist = vm.length(vec)
-        cos = vm.saturate(
-            vm.dot(res.v2_normal, vec / jnp.maximum(dist, 1e-20)[..., None])
-        )
-        return dist, cos
 
-    nd, nc = partial(new_hit_point)
-    od, oc = partial(res.v1_point)
+def jacobian_old_parts(v1_point, v2_point, v2_normal):
+    """(od, oc) — the candidate-side half of the reconnection Jacobian.
+    Pure functions of the candidate's own fields, so spatial probes can
+    precompute them per pixel and probe TWO planes instead of
+    v1_point's three (probing precomputed values commutes bitwise with
+    computing on probed values)."""
+    return _jacobian_partial(v1_point, v2_point, v2_normal)
+
+
+def jacobian_apply(od, oc, v2_point, v2_normal, exists, new_hit_point):
+    """Finish the Jacobian given precomputed (od, oc); bitwise equal to
+    sample_jacobian on the reassembled candidate."""
+    nd, nc = _jacobian_partial(new_hit_point, v2_point, v2_normal)
     x = nc * od * od
     y = oc * nd * nd
     j = jnp.where(y == 0.0, 0.0, x / jnp.where(y == 0.0, 1.0, y))
-    return jnp.where(res.exists, j, 1.0)
+    return jnp.where(exists, j, 1.0)
+
+
+def sample_jacobian(res: GiReservoirs, new_hit_point):
+    """Reconnection-shift Jacobian (gi.rs:135-159)."""
+    od, oc = jacobian_old_parts(res.v1_point, res.v2_point, res.v2_normal)
+    return jacobian_apply(
+        od, oc, res.v2_point, res.v2_normal, res.exists, new_hit_point
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +260,7 @@ def gi_coverage(xs, ys, frame):
 def gi_reproject(
     camera: Camera, surf: Surface, reproj: Reprojection,
     gi_prev: GiReservoirs, prev_surf: Surface | None = None,
+    prefetched=None,
 ):
     """gi_reprojection.rs: gather the previous reservoir at the
     reprojected position; confidence := 1, v1 := current hit point.
@@ -250,14 +268,22 @@ def gi_reproject(
     When ``prev_surf`` is given it rides the same row-batched take (the
     temporal pass needs the prev-frame surface at the SAME index, and
     the take cost is flat in the field count — ops/gather.py); returns
-    (rep, reprojected prev_surf or None)."""
+    (rep, reprojected prev_surf or None). ``prefetched``: optional
+    (rep_raw, rhs_surf) from models.restir fetch_history (the DI
+    temporal pass gathers at the same coordinates; one take serves
+    both)."""
     shape = surf.depth.shape
-    rpx, rpy = reproj.prev_xy_round
-    rx = jnp.clip(rpx, 0, camera.width - 1)
-    ry = jnp.clip(rpy, 0, camera.height - 1)
-    if prev_surf is not None:
+    if prefetched is not None:
+        rep, rhs_surf = prefetched
+    elif prev_surf is not None:
+        rpx, rpy = reproj.prev_xy_round
+        rx = jnp.clip(rpx, 0, camera.width - 1)
+        ry = jnp.clip(rpy, 0, camera.height - 1)
         rep, rhs_surf = gather.gather_tree((gi_prev, prev_surf), ry, rx)
     else:
+        rpx, rpy = reproj.prev_xy_round
+        rx = jnp.clip(rpx, 0, camera.width - 1)
+        ry = jnp.clip(rpy, 0, camera.height - 1)
         rep, rhs_surf = gi_prev.gather(ry, rx), None
     rep = select(reproj.is_some, rep, GiReservoirs.empty(shape))
     rep = rep.replace(
@@ -645,9 +671,15 @@ def gi_spatial(
         gate = jnp.where(
             surf.is_some, jnp.where(res.m > 0.0, 2.0, 1.0), 0.0
         )
+        # v1_point enters the probe only through the Jacobian's
+        # candidate-side terms — probe those precomputed (2 planes for
+        # v1's 3; bitwise-commuting, see gi_preview)
+        p_od, p_oc = jacobian_old_parts(
+            res.v1_point, res.v2_point, res.v2_normal
+        )
         probe = shoff.SharedOffsetTaps(
             (surf.depth, surf.normal, gate,
-             res.v1_point, res.v2_point, res.v2_normal),
+             p_od, p_oc, res.v2_point, res.v2_normal),
             margin=margin,
         )
         level = jnp.zeros(shape, jnp.int32)
@@ -659,7 +691,7 @@ def gi_spatial(
             state, word = rng.next_u32(state)
             sel = level * n_var + (word % jnp.uint32(n_var)).astype(jnp.int32)
             kmax = n_var * (nth + 1)  # reachable levels by try nth
-            c_depth, c_normal, c_gate, c_v1, c_v2, c_v2n = probe.take(
+            c_depth, c_normal, c_gate, c_od, c_oc, c_v2, c_v2n = probe.take(
                 dy, dx, sel, kmax=kmax
             )
             oy, ox = probe.offset_of(dy, dx, sel, kmax=kmax)
@@ -671,11 +703,8 @@ def gi_spatial(
             shrink = ~done & ~same & gate_fail
             level = jnp.where(shrink, jnp.minimum(level + 1, n_lvls - 1), level)
 
-            cand_geom = GiReservoirs.empty(shape).replace(
-                m=jnp.maximum(c_gate - 1.0, 0.0),
-                v1_point=c_v1, v2_point=c_v2, v2_normal=c_v2n
-            )
-            jac = sample_jacobian(cand_geom, surf.point)
+            c_exists = jnp.any(c_v2 != 0.0, axis=-1)
+            jac = jacobian_apply(c_od, c_oc, c_v2, c_v2n, c_exists, surf.point)
             jac_ok = (
                 jac >= 1.0 / tuning.gi_jacobian_reject
             ) & (jac <= tuning.gi_jacobian_reject)
@@ -785,9 +814,23 @@ def gi_preview(
     h, w = shape
     n_var = 4
     margin = shoff.probe_margin(max_radius, h, w)
-    nb_leaves, nb_treedef = jax.tree.flatten(neighbors)
+    # The probe cost is planes x variants (ops/gather.py), so only pay
+    # for planes the merge actually consumes. Dead after the loop's
+    # closing replace(): confidence, pdf, v1_point (all overwritten
+    # from center/main_pdf) and rng (never read out of a preview
+    # reservoir — history persists `source`, not the previews). The
+    # Jacobian's candidate-side terms (od, oc) are pure functions of
+    # the candidate, so probing them precomputed (2 planes) commutes
+    # bitwise with probing v1 (3 planes) and recomputing.
+    nb_od, nb_oc = jacobian_old_parts(
+        neighbors.v1_point, neighbors.v2_point, neighbors.v2_normal
+    )
+    nb_probe = (
+        neighbors.m, neighbors.w, neighbors.radiance,
+        neighbors.v2_point, neighbors.v2_normal, nb_od, nb_oc,
+    )
     probe = shoff.SharedOffsetTaps(
-        (surf.depth, surf.normal, surf.is_some, *nb_leaves), margin=margin
+        (surf.depth, surf.normal, surf.is_some, *nb_probe), margin=margin
     )
     seed_u = jnp.asarray(seed, jnp.uint32)
 
@@ -809,9 +852,16 @@ def gi_preview(
         depth_bad = jnp.abs(c_depth - surf.depth) > 0.25 * surf.depth
         normal_bad = vm.dot(c_normal, surf.normal) < 0.5
 
-        cand = jax.tree.unflatten(nb_treedef, c_nb)
+        c_m, c_w, c_rad, c_v2, c_v2n, c_od, c_oc = c_nb
+        zero = jnp.zeros(shape, jnp.float32)
+        cand = GiReservoirs(
+            m=c_m, w=c_w, pdf=zero, confidence=zero,
+            rng=jnp.zeros(shape, jnp.uint32), radiance=c_rad,
+            v1_point=jnp.zeros(shape + (3,), jnp.float32),
+            v2_point=c_v2, v2_normal=c_v2n,
+        )
         cpdf = sample_pdf(cand, surf)
-        jac = sample_jacobian(cand, surf.point)
+        jac = jacobian_apply(c_od, c_oc, c_v2, c_v2n, cand.exists, surf.point)
         jac_ok = (
             jac >= 1.0 / tuning.gi_jacobian_reject
         ) & (jac <= tuning.gi_jacobian_reject)
@@ -876,6 +926,7 @@ def gi_pipeline(
     luts=None,
     use_pallas: bool | None = None,
     tuning: Tuning = DEFAULT_TUNING,
+    prefetched=None,
 ):
     """Full per-frame GI schedule (camera_controller.rs:129-167)."""
     from ..models.restir import derive_seed
@@ -883,7 +934,9 @@ def gi_pipeline(
     tracing = is_gi_tracing(frame)
     frame_i = jnp.asarray(frame, jnp.int32)
 
-    rep, rep_surf = gi_reproject(camera, surf, reproj, gi_prev, prev_surf)
+    rep, rep_surf = gi_reproject(
+        camera, surf, reproj, gi_prev, prev_surf, prefetched
+    )
 
     # sampling runs on even tracing frames and on all validation frames
     # (gi_sampling.rs schedule); odd tracing frames skip it entirely.
